@@ -1,0 +1,254 @@
+"""Device-side modular arithmetic on 32-bit lanes.
+
+TPU vector lanes have no 64-bit integer multiply (and Mosaic/Pallas has no
+64-bit types at all), so this module rebuilds the reference's uint64 /
+__uint128_t Shoup arithmetic (fast_mul_operators.h:49-70) from uint32 limb
+operations:
+
+  * a u64 value is a pair (lo, hi) of uint32 arrays;
+  * 32x32->64 products are formed from 16-bit half-products (the TPU
+    analog of AVX512-IFMA's 52-bit madd52lo/hi split,
+    include/internal/avx512.h:48-55);
+  * the u128 intermediates of fast_dbl_mul_mod_q2 are 4-limb values.
+
+Every function here is pure jnp on uint32 and therefore works identically
+under jit, vmap, shard_map, and inside Pallas TPU kernel bodies.  The
+functions mirror the NumPy oracle in refmodel.py bit for bit.
+
+A faster single-lane path (`shoup_mul32`) covers q < 2^30 with word_size=32
+Shoup preconditioning -- the analog of the reference's reduced-word-size
+IFMA path (52-bit words for q < 2^49, defs.h:44-62).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+U32 = jnp.uint32
+MASK16 = np.uint32(0xFFFF)
+
+# A u64 on device is a tuple (lo, hi) of equal-shaped uint32 arrays.
+U64Pair = tuple
+
+
+# ---------------------------------------------------------------------------
+# Host <-> device representation
+# ---------------------------------------------------------------------------
+
+
+def from_u64(x: np.ndarray) -> U64Pair:
+    """Split a host uint64 array into a (lo, hi) uint32 pair."""
+    x = np.asarray(x, dtype=np.uint64)
+    lo = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (x >> np.uint64(32)).astype(np.uint32)
+    return jnp.asarray(lo), jnp.asarray(hi)
+
+
+def to_u64(a: U64Pair) -> np.ndarray:
+    """Join a (lo, hi) pair back into a host uint64 array."""
+    lo = np.asarray(a[0], dtype=np.uint64)
+    hi = np.asarray(a[1], dtype=np.uint64)
+    return lo | (hi << np.uint64(32))
+
+
+def const_u64(x: int, dtype=U32) -> tuple[np.uint32, np.uint32]:
+    """A scalar u64 constant as two uint32 scalars (trace-time constants)."""
+    return np.uint32(x & 0xFFFFFFFF), np.uint32((x >> 32) & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# u32 primitive: full 32x32 -> 64 product from 16-bit halves
+# ---------------------------------------------------------------------------
+
+
+def mul32_full(a, b):
+    """(lo32, hi32) of the 64-bit product of two uint32 arrays."""
+    a = a.astype(U32)
+    b = b.astype(U32)
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> 16) + (p01 & MASK16) + (p10 & MASK16)
+    lo = (mid << 16) | (p00 & MASK16)
+    hi = p11 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+    return lo, hi
+
+
+def mulhi32(a, b):
+    """High 32 bits of a 32x32 product."""
+    return mul32_full(a, b)[1]
+
+
+# ---------------------------------------------------------------------------
+# u64 (limb-pair) arithmetic
+# ---------------------------------------------------------------------------
+
+
+def add64(a: U64Pair, b: U64Pair) -> U64Pair:
+    lo = a[0] + b[0]
+    carry = (lo < a[0]).astype(U32)
+    return lo, a[1] + b[1] + carry
+
+
+def sub64(a: U64Pair, b: U64Pair) -> U64Pair:
+    """a - b mod 2^64 (wrapping, like C uint64_t)."""
+    lo = a[0] - b[0]
+    borrow = (a[0] < b[0]).astype(U32)
+    return lo, a[1] - b[1] - borrow
+
+
+def lt64(a: U64Pair, b: U64Pair):
+    return (a[1] < b[1]) | ((a[1] == b[1]) & (a[0] < b[0]))
+
+
+def select64(pred, a: U64Pair, b: U64Pair) -> U64Pair:
+    return jnp.where(pred, a[0], b[0]), jnp.where(pred, a[1], b[1])
+
+
+def mul64_lo(a: U64Pair, b: U64Pair) -> U64Pair:
+    """Low 64 bits of a 64x64 product (C uint64_t multiply)."""
+    lo, hi = mul32_full(a[0], b[0])
+    hi = hi + a[0] * b[1] + a[1] * b[0]
+    return lo, hi
+
+
+def mul64_full(a: U64Pair, b: U64Pair):
+    """All 128 bits of a 64x64 product, as 4 uint32 limbs (p0..p3, LSB first)."""
+    ll_lo, ll_hi = mul32_full(a[0], b[0])
+    lh_lo, lh_hi = mul32_full(a[0], b[1])
+    hl_lo, hl_hi = mul32_full(a[1], b[0])
+    hh_lo, hh_hi = mul32_full(a[1], b[1])
+    # limb 1 = ll_hi + lh_lo + hl_lo  (carries into limb 2)
+    s1 = ll_hi + lh_lo
+    c1 = (s1 < ll_hi).astype(U32)
+    p1 = s1 + hl_lo
+    c2 = (p1 < s1).astype(U32)
+    # limb 2 = lh_hi + hl_hi + hh_lo + carries  (carries into limb 3)
+    s2 = lh_hi + hl_hi
+    c3 = (s2 < lh_hi).astype(U32)
+    s3 = s2 + hh_lo
+    c4 = (s3 < s2).astype(U32)
+    p2 = s3 + c1 + c2
+    c5 = (p2 < s3).astype(U32)
+    p3 = hh_hi + c3 + c4 + c5
+    return ll_lo, p1, p2, p3
+
+
+def mulhi64(a: U64Pair, b: U64Pair) -> U64Pair:
+    """High 64 bits of a 64x64 product (HIGH_WORD of the u128 product,
+    defs.h:54)."""
+    _, _, p2, p3 = mul64_full(a, b)
+    return p2, p3
+
+
+def add128(a4, b4):
+    """Sum of two 128-bit 4-limb values, wrapping mod 2^128."""
+    r0 = a4[0] + b4[0]
+    c0 = (r0 < a4[0]).astype(U32)
+    s1 = a4[1] + b4[1]
+    c1a = (s1 < a4[1]).astype(U32)
+    r1 = s1 + c0
+    c1b = (r1 < s1).astype(U32)
+    s2 = a4[2] + b4[2]
+    c2a = (s2 < a4[2]).astype(U32)
+    r2 = s2 + c1a + c1b
+    c2b = (r2 < s2).astype(U32)
+    r3 = a4[3] + b4[3] + c2a + c2b
+    return r0, r1, r2, r3
+
+
+# ---------------------------------------------------------------------------
+# Lazy reduction ladder on limb pairs (fast_mul_operators.h:15-43)
+# ---------------------------------------------------------------------------
+
+
+def cond_sub64(v: U64Pair, kq: tuple) -> U64Pair:
+    """v if v < kq else v - kq; kq is a (lo, hi) uint32 scalar pair."""
+    d = sub64(v, kq)
+    return select64(lt64(v, kq), v, d)
+
+
+def reduce_2q_to_q(v, q: int):
+    return cond_sub64(v, const_u64(q))
+
+
+def reduce_4q_to_2q(v, q: int):
+    return cond_sub64(v, const_u64(2 * q))
+
+
+def reduce_4q_to_q(v, q: int):
+    return reduce_2q_to_q(reduce_4q_to_2q(v, q), q)
+
+
+def reduce_8q_to_4q(v, q: int):
+    return cond_sub64(v, const_u64(4 * q))
+
+
+def reduce_8q_to_2q(v, q: int):
+    return reduce_4q_to_2q(reduce_8q_to_4q(v, q), q)
+
+
+def reduce_8q_to_q(v, q: int):
+    return reduce_2q_to_q(reduce_8q_to_2q(v, q), q)
+
+
+# ---------------------------------------------------------------------------
+# Shoup modular multiplication (fast_mul_operators.h:49-70)
+# ---------------------------------------------------------------------------
+
+
+def shoup_mul_q2(w: U64Pair, w_con: U64Pair, t: U64Pair, q: int) -> U64Pair:
+    """(w*t - hi64(w_con*t)*q) mod 2^64, in [0, 2q)."""
+    big_q = mulhi64(w_con, t)
+    qc = const_u64(q)
+    return sub64(mul64_lo(w, t), mul64_lo(big_q, qc))
+
+
+def shoup_mul_q(w, w_con, t, q: int) -> U64Pair:
+    return reduce_2q_to_q(shoup_mul_q2(w, w_con, t, q), q)
+
+
+def shoup_dbl_mul_q2(w1, w1c, w2, w2c, t1, t2, q: int) -> U64Pair:
+    """Fused (t1*w1 + t2*w2) with one correction (fast_mul_operators.h:62-70).
+    The u128 sum w1c*t1 + w2c*t2 is formed in 4 limbs; Q = its high 64."""
+    p = add128(mul64_full(w1c, t1), mul64_full(w2c, t2))
+    big_q = (p[2], p[3])
+    qc = const_u64(q)
+    acc = add64(mul64_lo(w1, t1), mul64_lo(w2, t2))
+    return sub64(acc, mul64_lo(big_q, qc))
+
+
+# ---------------------------------------------------------------------------
+# Single-lane uint32 fast path: q < 2^30, word_size=32 Shoup constants.
+# Valid because Shoup's bound needs t <= 2^32 and our lazy inputs stay
+# < 4q < 2^32 (< 8q for radix-4 needs q < 2^29).
+# ---------------------------------------------------------------------------
+
+U32_PATH_MAX_Q_BITS_R2 = 30  # inputs < 4q must stay < 2^32
+U32_PATH_MAX_Q_BITS_R4 = 29  # radix-4 lazy inputs < 8q
+
+
+def shoup_mul32_q2(w, w_con, t, q: int):
+    """Single-lane Shoup multiply with 32-bit preconditioning; result < 2q."""
+    big_q = mulhi32(w_con, t)
+    return w * t - big_q * np.uint32(q)
+
+
+def cond_sub32(v, kq: int):
+    kqc = np.uint32(kq)
+    return jnp.where(v < kqc, v, v - kqc)
+
+
+def reduce32(v, q: int, from_factor: int):
+    """Reduce v < from_factor*q down to [0, q) by conditional subtracts."""
+    f = from_factor
+    while f > 1:
+        f >>= 1
+        v = cond_sub32(v, f * q)
+    return v

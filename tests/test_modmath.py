@@ -1,0 +1,170 @@
+"""Property tests for the u32-limb arithmetic against exact Python ints.
+
+This is the TPU analog of running the reference under UBSAN: the
+hand-rolled carry chains in modmath.py are exactly where silent overflow
+bugs would live (SURVEY.md section 5, "race detection" row)."""
+
+import numpy as np
+import pytest
+
+from ntt_tpu import modmath as mm
+from ntt_tpu.params import FIXTURES
+
+M64 = (1 << 64) - 1
+
+
+def _rand_u64(rng, n, edge=True):
+    x = rng.integers(0, 1 << 63, size=n, dtype=np.uint64) | (
+        rng.integers(0, 2, size=n, dtype=np.uint64) << np.uint64(63)
+    )
+    if edge:
+        x[:8] = [0, 1, 2, M64, M64 - 1, 1 << 32, (1 << 32) - 1, (1 << 63)]
+    return x
+
+
+@pytest.fixture(scope="module")
+def pairs():
+    rng = np.random.default_rng(7)
+    a = _rand_u64(rng, 4096)
+    b = _rand_u64(rng, 4096)
+    np.random.default_rng(8).shuffle(b)
+    return a, b
+
+
+def test_roundtrip_representation(pairs):
+    a, _ = pairs
+    np.testing.assert_array_equal(mm.to_u64(mm.from_u64(a)), a)
+
+
+def test_mul32_full(pairs):
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 1 << 32, size=2048, dtype=np.uint64).astype(np.uint32)
+    b = rng.integers(0, 1 << 32, size=2048, dtype=np.uint64).astype(np.uint32)
+    import jax.numpy as jnp
+
+    lo, hi = mm.mul32_full(jnp.asarray(a), jnp.asarray(b))
+    prod = a.astype(np.uint64) * b.astype(np.uint64)
+    np.testing.assert_array_equal(np.asarray(lo), (prod & 0xFFFFFFFF).astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(hi), (prod >> 32).astype(np.uint32))
+
+
+def test_add_sub_mul64(pairs):
+    a, b = pairs
+    pa, pb = mm.from_u64(a), mm.from_u64(b)
+    ia = a.astype(object)
+    ib = b.astype(object)
+    np.testing.assert_array_equal(
+        mm.to_u64(mm.add64(pa, pb)).astype(object), (ia + ib) & M64
+    )
+    np.testing.assert_array_equal(
+        mm.to_u64(mm.sub64(pa, pb)).astype(object), (ia - ib) & M64
+    )
+    np.testing.assert_array_equal(
+        mm.to_u64(mm.mul64_lo(pa, pb)).astype(object), (ia * ib) & M64
+    )
+    np.testing.assert_array_equal(
+        mm.to_u64(mm.mulhi64(pa, pb)).astype(object), (ia * ib) >> 64
+    )
+
+
+def test_mul64_full(pairs):
+    a, b = pairs
+    pa, pb = mm.from_u64(a), mm.from_u64(b)
+    p0, p1, p2, p3 = mm.mul64_full(pa, pb)
+    got = (
+        np.asarray(p0).astype(object)
+        + (np.asarray(p1).astype(object) << 32)
+        + (np.asarray(p2).astype(object) << 64)
+        + (np.asarray(p3).astype(object) << 96)
+    )
+    want = a.astype(object) * b.astype(object)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_lt_and_reduce(pairs):
+    a, b = pairs
+    pa, pb = mm.from_u64(a), mm.from_u64(b)
+    np.testing.assert_array_equal(np.asarray(mm.lt64(pa, pb)), a < b)
+    q = FIXTURES[13].q  # 51-bit
+    rng = np.random.default_rng(10)
+    v = rng.integers(0, 8 * q, size=4096, dtype=np.uint64)
+    got = mm.to_u64(mm.reduce_8q_to_q(mm.from_u64(v), q))
+    np.testing.assert_array_equal(got, v % np.uint64(q))
+
+
+@pytest.mark.parametrize("p", [FIXTURES[0], FIXTURES[12], FIXTURES[13]])
+def test_shoup_mul_matches_exact(p, pairs):
+    q = p.q
+    rng = np.random.default_rng(11)
+    w = rng.integers(0, q, size=4096, dtype=np.uint64)
+    t = rng.integers(0, 4 * q if 4 * q < (1 << 64) else (1 << 63), size=4096,
+                     dtype=np.uint64)
+    w_con = np.array([(int(x) << 64) // q for x in w], dtype=np.uint64)
+    got = mm.to_u64(
+        mm.shoup_mul_q2(mm.from_u64(w), mm.from_u64(w_con), mm.from_u64(t), q)
+    )
+    want = (w.astype(object) * t.astype(object)) % q
+    # lazy result is in [0, 2q) and congruent mod q
+    assert (got < 2 * q).all()
+    np.testing.assert_array_equal(got.astype(object) % q, want)
+    strict = mm.to_u64(
+        mm.shoup_mul_q(mm.from_u64(w), mm.from_u64(w_con), mm.from_u64(t), q)
+    )
+    np.testing.assert_array_equal(strict.astype(object), want)
+
+
+def test_shoup_dbl_mul(pairs):
+    q = FIXTURES[13].q
+    rng = np.random.default_rng(12)
+    n = 2048
+    w1 = rng.integers(0, q, size=n, dtype=np.uint64)
+    w2 = rng.integers(0, q, size=n, dtype=np.uint64)
+    t1 = rng.integers(0, 8 * q, size=n, dtype=np.uint64)
+    t2 = rng.integers(0, 8 * q, size=n, dtype=np.uint64)
+    c1 = np.array([(int(x) << 64) // q for x in w1], dtype=np.uint64)
+    c2 = np.array([(int(x) << 64) // q for x in w2], dtype=np.uint64)
+    got = mm.to_u64(
+        mm.shoup_dbl_mul_q2(
+            mm.from_u64(w1), mm.from_u64(c1), mm.from_u64(w2), mm.from_u64(c2),
+            mm.from_u64(t1), mm.from_u64(t2), q,
+        )
+    )
+    want = (
+        w1.astype(object) * t1.astype(object) + w2.astype(object) * t2.astype(object)
+    ) % q
+    assert (got < 4 * q).all()
+    np.testing.assert_array_equal(got.astype(object) % q, want)
+
+
+def test_refmodel_mulhi_matches_limb():
+    """The NumPy oracle's mulhi64 and the device limb mulhi64 agree."""
+    from ntt_tpu import refmodel as rm
+
+    rng = np.random.default_rng(13)
+    a = _rand_u64(rng, 1024)
+    b = _rand_u64(rng, 1024)
+    np.testing.assert_array_equal(
+        rm.mulhi64(a, b), mm.to_u64(mm.mulhi64(mm.from_u64(a), mm.from_u64(b)))
+    )
+
+
+def test_shoup_mul32():
+    import jax.numpy as jnp
+
+    q = FIXTURES[9].q  # 0x1ffc8001, 29-bit
+    assert q < 1 << mm.U32_PATH_MAX_Q_BITS_R2
+    rng = np.random.default_rng(14)
+    w = rng.integers(0, q, size=4096, dtype=np.uint64)
+    t = rng.integers(0, 4 * q, size=4096, dtype=np.uint64)
+    w_con = ((w.astype(object) << 32) // q).astype(np.uint64)
+    got = np.asarray(
+        mm.shoup_mul32_q2(
+            jnp.asarray(w.astype(np.uint32)),
+            jnp.asarray(w_con.astype(np.uint32)),
+            jnp.asarray(t.astype(np.uint32)),
+            q,
+        )
+    ).astype(np.uint64)
+    want = (w * t % np.uint64(q)).astype(np.uint64)
+    assert (got < 2 * q).all()
+    np.testing.assert_array_equal(got % np.uint64(q), want)
