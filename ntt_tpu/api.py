@@ -1,0 +1,273 @@
+"""Public API: fwd_ntt / inv_ntt over a variant registry.
+
+The registry replaces the reference's func_num_t enum + argv dispatch
+(tests/tests.h:10-24, tests/main.c:12-17): each variant is a named entry
+with capability metadata (inverse support, q-width limits, output order),
+and the dispatcher picks the best path ("auto") for a given plan.
+
+Host interface: NumPy uint64 arrays (any leading batch dims, last dim N).
+Device interface: each variant exposes a jittable core over uint32 arrays;
+jitted callables are cached per (q, m, variant, laziness).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ntt_tpu import modmath as mm
+from ntt_tpu.kernels import radix2, radix4
+from ntt_tpu.params import NttParams
+from ntt_tpu.plan import NttPlan, get_plan
+
+
+@dataclasses.dataclass(frozen=True)
+class Variant:
+    """Registry entry (capabilities mirror SURVEY.md section 2.3 table)."""
+
+    name: str
+    fwd: Callable  # (plan, lazy) -> host fn np.uint64 -> np.uint64
+    inv: Callable | None
+    max_q_bits: int = 62
+    description: str = ""
+
+
+_REGISTRY: dict[str, Variant] = {}
+
+
+def register(v: Variant):
+    _REGISTRY[v.name] = v
+    return v
+
+
+def variants() -> dict[str, Variant]:
+    return dict(_REGISTRY)
+
+
+def get_variant(name: str) -> Variant:
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown NTT variant {name!r}; have {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+# ---------------------------------------------------------------------------
+# jitted cores (cached per static config)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_r2_u64(q: int, lazy: bool):
+    fn = radix2.fwd_lazy_u64 if lazy else radix2.fwd_u64
+
+    def core(alo, ahi, wlo, whi, clo, chi):
+        return fn((alo, ahi), (wlo, whi), (clo, chi), q)
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_r2_u64(q: int, n_inv_op: int, n_inv_con: int, w1: int):
+    def core(alo, ahi, wlo, whi, clo, chi):
+        return radix2.inv_u64((alo, ahi), (wlo, whi), (clo, chi), n_inv_op, n_inv_con, w1, q)
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_r2_u32(q: int, lazy: bool):
+    fn = radix2.fwd_lazy_u32 if lazy else radix2.fwd_u32
+    return jax.jit(lambda a, w, wc: fn(a, w, wc, q))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_r2_u32(q: int, n_inv_op: int, n_inv_con: int, w1: int):
+    return jax.jit(
+        lambda a, w, wc: radix2.inv_u32(a, w, wc, n_inv_op, n_inv_con, w1, q)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_r4_u64(q: int, lazy: bool):
+    fn = radix4.fwd_lazy_u64 if lazy else radix4.fwd_u64
+
+    def core(alo, ahi, wlo, whi, clo, chi):
+        return fn((alo, ahi), (wlo, whi), (clo, chi), q)
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_r4_u64(q: int, n_inv_op: int, n_inv_con: int):
+    def core(alo, ahi, wlo, whi, clo, chi):
+        return radix4.inv_u64((alo, ahi), (wlo, whi), (clo, chi), n_inv_op, n_inv_con, q)
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_r4_u32(q: int, lazy: bool):
+    fn = radix4.fwd_lazy_u32 if lazy else radix4.fwd_u32
+    return jax.jit(lambda a, w, wc: fn(a, w, wc, q))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_r4_u32(q: int, n_inv_op: int, n_inv_con: int):
+    return jax.jit(lambda a, w, wc: radix4.inv_u32(a, w, wc, n_inv_op, n_inv_con, q))
+
+
+# ---------------------------------------------------------------------------
+# host wrappers
+# ---------------------------------------------------------------------------
+
+
+def _r2_u64_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    w, wc, _, _ = plan.dev_r2_u64
+    alo, ahi = mm.from_u64(a)
+    out = _jit_fwd_r2_u64(plan.q, lazy)(alo, ahi, w[0], w[1], wc[0], wc[1])
+    return mm.to_u64(out)
+
+
+def _r2_u64_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    _, _, wi, wic = plan.dev_r2_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_inv_r2_u64(
+        plan.q, plan.params.n_inv, plan.n_inv_con, int(plan.w_inv[1])
+    )
+    return mm.to_u64(fn(alo, ahi, wi[0], wi[1], wic[0], wic[1]))
+
+
+def _r2_u32_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    w, wc, _, _ = plan.dev_r2_u32
+    a32 = jnp.asarray(a.astype(np.uint32))
+    out = _jit_fwd_r2_u32(plan.q, lazy)(a32, w, wc)
+    return np.asarray(out).astype(np.uint64)
+
+
+def _r2_u32_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    _, _, wi, wic = plan.dev_r2_u32
+    a32 = jnp.asarray(a.astype(np.uint32))
+    fn = _jit_inv_r2_u32(
+        plan.q, plan.params.n_inv, plan.n_inv_con32, int(plan.w_inv[1])
+    )
+    return np.asarray(fn(a32, wi, wic)).astype(np.uint64)
+
+
+def _r4_u64_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    w, wc, _, _ = plan.dev_r4_u64
+    alo, ahi = mm.from_u64(a)
+    out = _jit_fwd_r4_u64(plan.q, lazy)(alo, ahi, w[0], w[1], wc[0], wc[1])
+    return mm.to_u64(out)
+
+
+def _r4_u64_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    _, _, wi, wic = plan.dev_r4_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_inv_r4_u64(plan.q, plan.params.n_inv, plan.n_inv_con)
+    return mm.to_u64(fn(alo, ahi, wi[0], wi[1], wic[0], wic[1]))
+
+
+def _r4_u32_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    w, wc, _, _ = plan.dev_r4_u32
+    a32 = jnp.asarray(a.astype(np.uint32))
+    out = _jit_fwd_r4_u32(plan.q, lazy)(a32, w, wc)
+    return np.asarray(out).astype(np.uint64)
+
+
+def _r4_u32_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    _, _, wi, wic = plan.dev_r4_u32
+    a32 = jnp.asarray(a.astype(np.uint32))
+    fn = _jit_inv_r4_u32(plan.q, plan.params.n_inv, plan.n_inv_con32)
+    return np.asarray(fn(a32, wi, wic)).astype(np.uint64)
+
+
+register(
+    Variant(
+        "radix2",
+        fwd=_r2_u64_fwd,
+        inv=_r2_u64_inv,
+        description="golden radix-2 Harvey, u64 limb pairs (ref: src/ntt_reference.c)",
+    )
+)
+register(
+    Variant(
+        "radix2-u32",
+        fwd=_r2_u32_fwd,
+        inv=_r2_u32_inv,
+        max_q_bits=mm.U32_PATH_MAX_Q_BITS_R2,
+        description="radix-2 Harvey, single uint32 lanes, word_size=32 Shoup",
+    )
+)
+register(
+    Variant(
+        "radix4",
+        fwd=_r4_u64_fwd,
+        inv=_r4_u64_inv,
+        description="radix-4 five-twiddle, u64 limb pairs (ref: src/ntt_radix4.c)",
+    )
+)
+register(
+    Variant(
+        "radix4-u32",
+        fwd=_r4_u32_fwd,
+        inv=_r4_u32_inv,
+        max_q_bits=mm.U32_PATH_MAX_Q_BITS_R4,
+        description="radix-4, single uint32 lanes, word_size=32 Shoup",
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# top-level dispatch
+# ---------------------------------------------------------------------------
+
+
+def _resolve(params_or_plan) -> NttPlan:
+    if isinstance(params_or_plan, NttPlan):
+        return params_or_plan
+    if isinstance(params_or_plan, NttParams):
+        return get_plan(params_or_plan)
+    raise TypeError(type(params_or_plan))
+
+
+def _auto_variant(plan: NttPlan, radix: int = 2) -> str:
+    if radix == 4 and plan.supports_u32_radix4:
+        return "radix4-u32"
+    if radix == 2 and plan.supports_u32_radix2:
+        return "radix2-u32"
+    return "radix4" if radix == 4 else "radix2"
+
+
+def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
+    """Forward negacyclic NTT.  a: uint64 array (..., N), values in [0, q)
+    (or the variant's documented lazy input bound).  Returns uint64."""
+    plan = _resolve(params_or_plan)
+    name = _auto_variant(plan) if variant == "auto" else variant
+    v = get_variant(name)
+    if plan.q.bit_length() > v.max_q_bits:
+        raise ValueError(
+            f"variant {name} supports q < 2^{v.max_q_bits}, got {plan.q.bit_length()}-bit q"
+        )
+    a = np.asarray(a, dtype=np.uint64)
+    assert a.shape[-1] == plan.n, f"last dim {a.shape[-1]} != N {plan.n}"
+    return v.fwd(plan, a, lazy)
+
+
+def inv_ntt(a, params_or_plan, variant: str = "auto"):
+    """Inverse negacyclic NTT (strict output in [0, q))."""
+    plan = _resolve(params_or_plan)
+    name = _auto_variant(plan) if variant == "auto" else variant
+    v = get_variant(name)
+    if v.inv is None:
+        raise ValueError(f"variant {name} has no inverse kernel")
+    if plan.q.bit_length() > v.max_q_bits:
+        raise ValueError(
+            f"variant {name} supports q < 2^{v.max_q_bits}, got {plan.q.bit_length()}-bit q"
+        )
+    a = np.asarray(a, dtype=np.uint64)
+    assert a.shape[-1] == plan.n
+    return v.inv(plan, a)

@@ -230,8 +230,8 @@ def shoup_dbl_mul_q2(w1, w1c, w2, w2c, t1, t2, q: int) -> U64Pair:
 # < 4q < 2^32 (< 8q for radix-4 needs q < 2^29).
 # ---------------------------------------------------------------------------
 
-U32_PATH_MAX_Q_BITS_R2 = 30  # inputs < 4q must stay < 2^32
-U32_PATH_MAX_Q_BITS_R4 = 29  # radix-4 lazy inputs < 8q
+U32_PATH_MAX_Q_BITS_R2 = 30  # Shoup needs t < 4q <= 2^32
+U32_PATH_MAX_Q_BITS_R4 = 28  # dual-Shoup needs t1+t2 < 16q <= 2^32 for Y1 < 2q
 
 
 def shoup_mul32_q2(w, w_con, t, q: int):

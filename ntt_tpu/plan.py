@@ -1,0 +1,175 @@
+"""NttPlan: cached per-(q, m) twiddle plans, host tables + device arrays.
+
+The reference precomputes, per test case, one table family per kernel
+variant at init time and caches it (tests/test_cases.h:212-311, called
+once from main).  Here the same role is played by an ``NttPlan`` object:
+built once per (q, m), it lazily materializes
+
+  * host NumPy tables (exact, uint64) for every variant layout, and
+  * device-resident uint32 representations consumed by the jnp / Pallas
+    kernels (u64 limb pairs for the generic path; single uint32 arrays
+    with word_size=32 Shoup constants for the q < 2^30 fast path).
+
+Nothing here is performance-critical at transform time -- plans are
+amortized over many transforms exactly like the reference's cached
+precomputations (pre_compute.h:12-14).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ntt_tpu import modmath as mm
+from ntt_tpu import twiddles as tw
+from ntt_tpu.params import NttParams
+
+
+class NttPlan:
+    """All cached tables for one (q, m) instance."""
+
+    def __init__(self, params: NttParams):
+        self.params = params
+        self.q = params.q
+        self.n = params.n
+        self.m = params.m
+
+    # -- capability flags ------------------------------------------------
+    @property
+    def supports_u32_radix2(self) -> bool:
+        return self.q < (1 << mm.U32_PATH_MAX_Q_BITS_R2)
+
+    @property
+    def supports_u32_radix4(self) -> bool:
+        return self.q < (1 << mm.U32_PATH_MAX_Q_BITS_R4)
+
+    # -- host tables (uint64 NumPy) --------------------------------------
+    @functools.cached_property
+    def w(self) -> np.ndarray:
+        return tw.calc_w(self.params.w, self.n, self.q)
+
+    @functools.cached_property
+    def w_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w, self.q, 64)
+
+    @functools.cached_property
+    def w_inv(self) -> np.ndarray:
+        return tw.calc_w_inv(self.params.w_inv, self.n, self.q)
+
+    @functools.cached_property
+    def w_inv_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_inv, self.q, 64)
+
+    @functools.cached_property
+    def n_inv_con(self) -> int:
+        return tw.calc_ninv_con(self.params.n_inv, self.q, 64)
+
+    @functools.cached_property
+    def w_r4(self) -> np.ndarray:
+        return tw.expand_w(self.w, self.q)
+
+    @functools.cached_property
+    def w_r4_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_r4, self.q, 64)
+
+    @functools.cached_property
+    def w_inv_r4(self) -> np.ndarray:
+        return tw.expand_w(self.w_inv, self.q)
+
+    @functools.cached_property
+    def w_inv_r4_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_inv_r4, self.q, 64)
+
+    @functools.cached_property
+    def w_hexl(self) -> np.ndarray:
+        return tw.expand_w_hexl(self.w)
+
+    @functools.cached_property
+    def w_r2_16(self) -> np.ndarray:
+        return tw.expand_w_r2_16(self.w)
+
+    def w_r4_vec(self, unordered: bool = False) -> np.ndarray:
+        return tw.expand_w_r4(self.w, self.q, unordered)
+
+    @functools.cached_property
+    def w_r4r2(self) -> np.ndarray:
+        return tw.expand_w_r4r2(self.w, self.q)
+
+    # word_size-32 Shoup constants for the u32 fast path
+    def con32(self, table: np.ndarray) -> np.ndarray:
+        return tw.calc_w_con(table, self.q, 32)
+
+    @functools.cached_property
+    def w_con32(self) -> np.ndarray:
+        return self.con32(self.w)
+
+    @functools.cached_property
+    def w_inv_con32(self) -> np.ndarray:
+        return self.con32(self.w_inv)
+
+    @functools.cached_property
+    def w_r4_con32(self) -> np.ndarray:
+        return self.con32(self.w_r4)
+
+    @functools.cached_property
+    def w_inv_r4_con32(self) -> np.ndarray:
+        return self.con32(self.w_inv_r4)
+
+    @functools.cached_property
+    def n_inv_con32(self) -> int:
+        return tw.calc_ninv_con(self.params.n_inv, self.q, 32)
+
+    # -- device tables ----------------------------------------------------
+    @functools.cached_property
+    def dev_r2_u64(self):
+        """(w, w_con, w_inv, w_inv_con) as device u32 limb pairs."""
+        return (
+            mm.from_u64(self.w),
+            mm.from_u64(self.w_con),
+            mm.from_u64(self.w_inv),
+            mm.from_u64(self.w_inv_con),
+        )
+
+    @functools.cached_property
+    def dev_r4_u64(self):
+        return (
+            mm.from_u64(self.w_r4),
+            mm.from_u64(self.w_r4_con),
+            mm.from_u64(self.w_inv_r4),
+            mm.from_u64(self.w_inv_r4_con),
+        )
+
+    @functools.cached_property
+    def dev_r2_u32(self):
+        """uint32 tables for the q < 2^30 single-lane path."""
+        import jax.numpy as jnp
+
+        assert self.supports_u32_radix2
+        return (
+            jnp.asarray(self.w.astype(np.uint32)),
+            jnp.asarray(self.w_con32.astype(np.uint32)),
+            jnp.asarray(self.w_inv.astype(np.uint32)),
+            jnp.asarray(self.w_inv_con32.astype(np.uint32)),
+        )
+
+    @functools.cached_property
+    def dev_r4_u32(self):
+        import jax.numpy as jnp
+
+        assert self.supports_u32_radix4
+        return (
+            jnp.asarray(self.w_r4.astype(np.uint32)),
+            jnp.asarray(self.con32(self.w_r4).astype(np.uint32)),
+            jnp.asarray(self.w_inv_r4.astype(np.uint32)),
+            jnp.asarray(self.con32(self.w_inv_r4).astype(np.uint32)),
+        )
+
+
+@functools.lru_cache(maxsize=64)
+def _plan_cache(q: int, m: int, w: int, w_inv: int, n_inv: int) -> NttPlan:
+    return NttPlan(NttParams(m=m, q=q, w=w, w_inv=w_inv, n_inv=n_inv))
+
+
+def get_plan(params: NttParams) -> NttPlan:
+    return _plan_cache(params.q, params.m, params.w, params.w_inv, params.n_inv)

@@ -8,12 +8,19 @@ import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: this image's sitecustomize force-registers the axon TPU plugin and
+# JAX_PLATFORMS=axon; the env var alone is NOT enough to select CPU.  Use
+# jax.config.update before any backend is initialized.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,133 @@
+"""Parity tests: jnp kernels vs the NumPy oracle (all on CPU backend).
+
+Strategy per reference tests/test_correctness.c: forward variants must be
+bit-exact against the oracle; inverses must round-trip exactly.  The u64
+limb-pair path must additionally match the oracle's *lazy* intermediate
+representatives (word_size=64 end-to-end); the u32 path only promises
+strict parity (different word size -- same contract as the reference's
+VMSL/IFMA reduced-word variants)."""
+
+import numpy as np
+import pytest
+
+from ntt_tpu import api
+from ntt_tpu import modmath as mm
+from ntt_tpu import refmodel as rm
+from ntt_tpu.plan import get_plan
+
+from conftest import FIXTURES_ALL, FIXTURES_FAST, fixture_id, make_input
+
+
+@pytest.mark.parametrize("p", FIXTURES_ALL, ids=fixture_id)
+def test_radix2_u64_lazy_bitexact(p, rng):
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey_lazy(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant="radix2", lazy=True)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_radix2_u64_roundtrip(p, rng):
+    a = make_input(rng, p.n, p.q)
+    f = api.fwd_ntt(a, p, variant="radix2")
+    assert f.max() < p.q
+    back = api.inv_ntt(f, p, variant="radix2")
+    np.testing.assert_array_equal(back, a)
+
+
+@pytest.mark.parametrize("p", FIXTURES_ALL, ids=fixture_id)
+def test_radix4_u64_lazy_bitexact(p, rng):
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_radix4_lazy(a, p.q, plan.w_r4, plan.w_r4_con)
+    got = api.fwd_ntt(a, p, variant="radix4", lazy=True)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_radix4_u64_roundtrip(p, rng):
+    a = make_input(rng, p.n, p.q)
+    f = api.fwd_ntt(a, p, variant="radix4")
+    back = api.inv_ntt(f, p, variant="radix4")
+    np.testing.assert_array_equal(back, a)
+
+
+@pytest.mark.parametrize(
+    "p",
+    [p for p in FIXTURES_ALL if p.q < (1 << mm.U32_PATH_MAX_Q_BITS_R2)],
+    ids=fixture_id,
+)
+def test_radix2_u32_strict_parity(p, rng):
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant="radix2-u32")
+    np.testing.assert_array_equal(got, want)
+    back = api.inv_ntt(got, p, variant="radix2-u32")
+    np.testing.assert_array_equal(back, a)
+
+
+@pytest.mark.parametrize(
+    "p",
+    [p for p in FIXTURES_ALL if p.q < (1 << mm.U32_PATH_MAX_Q_BITS_R4)],
+    ids=fixture_id,
+)
+def test_radix4_u32_strict_parity(p, rng):
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant="radix4-u32")
+    np.testing.assert_array_equal(got, want)
+    back = api.inv_ntt(got, p, variant="radix4-u32")
+    np.testing.assert_array_equal(back, a)
+
+
+def test_u32_lazy_bound_documented(rng):
+    """u32-path lazy outputs stay within the documented 4q bound even
+    though representatives may differ from the 64-bit word path."""
+    p = [p for p in FIXTURES_ALL if p.q < (1 << 28)][-1]
+    a = make_input(rng, p.n, p.q)
+    lazy = api.fwd_ntt(a, p, variant="radix2-u32", lazy=True)
+    assert lazy.max() < 4 * p.q
+    strict = api.fwd_ntt(a, p, variant="radix2-u32")
+    np.testing.assert_array_equal(lazy % np.uint64(p.q), strict)
+
+
+@pytest.mark.parametrize("variant", ["radix2", "radix4", "radix2-u32"])
+def test_batch(variant, rng):
+    p = FIXTURES_ALL[0]
+    a = make_input(rng, p.n, p.q, batch=8)
+    got = api.fwd_ntt(a, p, variant=variant)
+    single = np.stack([api.fwd_ntt(a[i], p, variant=variant) for i in range(8)])
+    np.testing.assert_array_equal(got, single)
+
+
+def test_auto_dispatch_and_guards(rng):
+    small = FIXTURES_ALL[0]  # 13-bit q -> u32 path
+    big = FIXTURES_ALL[13]  # 51-bit q -> u64 path
+    a = make_input(rng, small.n, small.q)
+    assert api._auto_variant(get_plan(small)) == "radix2-u32"
+    assert api._auto_variant(get_plan(big)) == "radix2"
+    np.testing.assert_array_equal(
+        api.fwd_ntt(a, small, variant="auto"),
+        api.fwd_ntt(a, small, variant="radix2"),
+    )
+    with pytest.raises(ValueError, match="supports q"):
+        api.fwd_ntt(make_input(rng, big.n, big.q), big, variant="radix2-u32")
+    with pytest.raises(KeyError):
+        api.fwd_ntt(a, small, variant="nope")
+
+
+def test_cross_variant_strict_equality(rng):
+    """All registered forward variants agree on strict outputs (the
+    reference's single-oracle memcmp pattern)."""
+    p = FIXTURES_ALL[8]  # q=0xfff0001, 28-bit: every path supports it
+    a = make_input(rng, p.n, p.q)
+    outs = {}
+    for name, v in api.variants().items():
+        if p.q.bit_length() <= v.max_q_bits:
+            outs[name] = api.fwd_ntt(a, p, variant=name)
+    ref = outs.pop("radix2")
+    for name, o in outs.items():
+        np.testing.assert_array_equal(o, ref, err_msg=name)
