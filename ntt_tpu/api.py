@@ -21,7 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ntt_tpu import modmath as mm
-from ntt_tpu.kernels import radix2, radix4
+from ntt_tpu.kernels import radix2, radix4, sixstep
+from ntt_tpu.kernels.elems import U32Ops, U64Ops
 from ntt_tpu.params import NttParams
 from ntt_tpu.plan import NttPlan, get_plan
 
@@ -217,6 +218,79 @@ register(
         inv=_r4_u32_inv,
         max_q_bits=mm.U32_PATH_MAX_Q_BITS_R4,
         description="radix-4, single uint32 lanes, word_size=32 Shoup",
+    )
+)
+
+
+# -- six-step variants -------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int):
+    ops = U32Ops if nlimb == 1 else U64Ops
+
+    def core(*flat):
+        a = flat[:nlimb]
+        w = flat[nlimb : 2 * nlimb]
+        wc = flat[2 * nlimb :]
+        return sixstep.fwd_sixstep(a, ops, w, wc, q, n1_log, strict=not lazy)
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int):
+    ops = U32Ops if nlimb == 1 else U64Ops
+
+    def core(*flat):
+        a = flat[:nlimb]
+        w = flat[nlimb : 2 * nlimb]
+        wc = flat[2 * nlimb :]
+        return sixstep.inv_sixstep(
+            a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1_log
+        )
+
+    return jax.jit(core)
+
+
+def _sixstep_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    if plan.supports_u32_radix2:
+        w, wc, _, _ = plan.dev_r2_u32
+        ops, w_rep, wc_rep = U32Ops, (w,), (wc,)
+    else:
+        (wlo, whi), (clo, chi), _, _ = plan.dev_r2_u64
+        ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
+    a_rep = ops.from_host(a)
+    out = _jit_fwd_sixstep(plan.q, lazy, None, ops.nlimb)(*a_rep, *w_rep, *wc_rep)
+    return ops.to_host(out)
+
+
+def _sixstep_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    word = 32 if plan.supports_u32_radix2 else 64
+    ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
+    f_tmp, f_con = radix2._final_mulop(
+        plan.params.n_inv, ninv_con, int(plan.w_inv[1]), plan.q, word
+    )
+    if plan.supports_u32_radix2:
+        _, _, wi, wic = plan.dev_r2_u32
+        ops, w_rep, wc_rep = U32Ops, (wi,), (wic,)
+    else:
+        _, _, (ilo, ihi), (iclo, ichi) = plan.dev_r2_u64
+        ops, w_rep, wc_rep = U64Ops, (ilo, ihi), (iclo, ichi)
+    a_rep = ops.from_host(a)
+    fn = _jit_inv_sixstep(
+        plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, None, ops.nlimb
+    )
+    return ops.to_host(fn(*a_rep, *w_rep, *wc_rep))
+
+
+register(
+    Variant(
+        "sixstep",
+        fwd=_sixstep_fwd,
+        inv=_sixstep_inv,
+        description="fused six-step N=N1xN2 decomposition, lane-contiguous "
+        "stages + one transpose (TPU-native fast path)",
     )
 )
 

@@ -1,0 +1,212 @@
+"""Distributed six-step NTT over a JAX device mesh (shard_map + all_to_all).
+
+The reference library is strictly single-core (SURVEY.md section 2.6);
+this module is the genuinely new scaling layer: one transform of size
+N = N1*N2 spans the mesh axis.
+
+Dataflow (mirrors kernels/sixstep.py exactly -- the phase functions are
+shared, so the distributed transform is bit-exact with the single-chip
+kernel and therefore with the golden radix-2 kernel):
+
+  1. view (..., N1, N2), shard the N2 axis over mesh axis 'x';
+  2. phase 1: column NTTs -- embarrassingly local (twiddles w[1:N1]
+     replicated, identical for every i2);
+  3. all_to_all transpose over ICI: (..., N1, N2/D) -> (..., N1/D, N2)
+     -- the ONLY communication in the whole transform;
+  4. phase 2: row stages, local, with each device slicing its
+     [col0, col0 + N1/D) columns of the per-stage twiddle matrices;
+  5. output left sharded over the N1 axis in natural (N1, N2) layout.
+
+Batch parallelism (the HE-batch case, BASELINE.json configs[2]) is the
+degenerate mode shard='batch': each device runs whole transforms locally.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ntt_tpu.kernels import radix2, sixstep
+from ntt_tpu.kernels.elems import U32Ops, U64Ops, tmap
+from ntt_tpu.plan import NttPlan
+
+
+def default_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return jax.make_mesh((len(devs),), (axis,), devices=devs)
+
+
+def _tables(plan: NttPlan, inverse: bool):
+    if plan.supports_u32_radix2:
+        w, wc, wi, wic = plan.dev_r2_u32
+        return (U32Ops, (wi,), (wic,)) if inverse else (U32Ops, (w,), (wc,))
+    (wlo, whi), (clo, chi), (ilo, ihi), (iclo, ichi) = plan.dev_r2_u64
+    if inverse:
+        return U64Ops, (ilo, ihi), (iclo, ichi)
+    return U64Ops, (wlo, whi), (clo, chi)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
+                  axis: str, strict: bool, mesh: Mesh):
+    ops = U32Ops if nlimb == 1 else U64Ops
+    logn = n.bit_length() - 1
+    n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+    assert n1 % ndev == 0 and n2 % ndev == 0, (
+        f"N1={n1}, N2={n2} must both divide by mesh size {ndev}"
+    )
+
+    def local_fn(*flat):
+        a = flat[:nlimb]  # local (..., N1, N2/D)
+        w = flat[nlimb : 2 * nlimb]
+        wc = flat[2 * nlimb :]
+        a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev)
+        # the only collective: transpose the shard axis over ICI
+        a = tmap(
+            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
+                                     concat_axis=l.ndim - 1, tiled=True),
+            a,
+        )
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N2, N1/D)
+        col0 = lax.axis_index(axis) * (n1 // ndev)
+        a = sixstep.fwd_phase2(a, ops, w, wc, q, n1, n2, col0, n1 // ndev)
+        if strict:
+            a = ops.reduce_4q_to_q(a, q)
+        return tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
+
+    a_spec = P(None, None, axis)  # (batch, N1, N2-sharded)
+    out_spec = P(None, axis, None)
+    in_specs = tuple([a_spec] * nlimb + [P(None)] * (2 * nlimb))
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=tuple([out_spec] * nlimb), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
+                  axis: str, n_inv_op: int, n_inv_con: int, f_tmp: int,
+                  f_con: int, mesh: Mesh):
+    ops = U32Ops if nlimb == 1 else U64Ops
+    logn = n.bit_length() - 1
+    n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+
+    def local_fn(*flat):
+        a = flat[:nlimb]  # local (..., N1/D, N2), natural layout sharded on N1
+        w = flat[nlimb : 2 * nlimb]
+        wc = flat[2 * nlimb :]
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N2, N1/D)
+        col0 = lax.axis_index(axis) * (n1 // ndev)
+        a = sixstep.inv_phaseA(a, ops, w, wc, q, n1, n2, col0, n1 // ndev)
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
+        # inverse transpose collective: (..., N1/D, N2) -> (..., N1, N2/D)
+        a = tmap(
+            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 1,
+                                     concat_axis=l.ndim - 2, tiled=True),
+            a,
+        )
+        a = sixstep.inv_phaseB(
+            a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1, n2 // ndev
+        )
+        return a
+
+    a_spec = P(None, axis, None)
+    out_spec = P(None, None, axis)
+    in_specs = tuple([a_spec] * nlimb + [P(None)] * (2 * nlimb))
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=tuple([out_spec] * nlimb), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
+                 n1_log: int | None = None, lazy: bool = False,
+                 axis: str = "x") -> np.ndarray:
+    """Forward NTT of (..., N) uint64 with the transform sharded over the
+    mesh.  Output order identical to the golden radix-2 kernel."""
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    ndev = mesh.devices.size
+    n = plan.n
+    logn = n.bit_length() - 1
+    if n1_log is None:
+        n1_log = max(sixstep.default_split(n), (ndev - 1).bit_length())
+    n1 = 1 << n1_log
+    n2 = 1 << (logn - n1_log)
+
+    ops, w, wc = _tables(plan, inverse=False)
+    a = np.asarray(a, dtype=np.uint64)
+    squeeze = a.ndim == 1
+    a3 = a.reshape((-1, n1, n2))
+    rep = ops.from_host(a3)
+    fn = _jit_dist_fwd(plan.q, n, n1_log, ops.nlimb, ndev, axis, not lazy, mesh)
+    out = fn(*rep, *w, *wc)
+    res = ops.to_host(out).reshape(a.shape)
+    return res[0] if squeeze and res.ndim > a.ndim else res
+
+
+def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
+                 n1_log: int | None = None, axis: str = "x") -> np.ndarray:
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    ndev = mesh.devices.size
+    n = plan.n
+    logn = n.bit_length() - 1
+    if n1_log is None:
+        n1_log = max(sixstep.default_split(n), (ndev - 1).bit_length())
+    n1 = 1 << n1_log
+    n2 = 1 << (logn - n1_log)
+
+    ops, w, wc = _tables(plan, inverse=True)
+    word = 32 if ops is U32Ops else 64
+    ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
+    f_tmp, f_con = radix2._final_mulop(
+        plan.params.n_inv, ninv_con, int(plan.w_inv[1]), plan.q, word
+    )
+    a = np.asarray(a, dtype=np.uint64)
+    a3 = a.reshape((-1, n1, n2))
+    rep = ops.from_host(a3)
+    fn = _jit_dist_inv(
+        plan.q, n, n1_log, ops.nlimb, ndev, axis,
+        plan.params.n_inv, ninv_con, f_tmp, f_con, mesh,
+    )
+    out = fn(*rep, *w, *wc)
+    return ops.to_host(out).reshape(a.shape)
+
+
+def batch_parallel_fwd(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
+                       axis: str = "x", lazy: bool = False) -> np.ndarray:
+    """HE-batch mode: shard the batch dim; each device runs whole fused
+    six-step transforms locally (no collectives at all)."""
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    ops, w, wc = _tables(plan, inverse=False)
+    a = np.asarray(a, dtype=np.uint64)
+    assert a.ndim >= 2, "batch mode needs a leading batch dim"
+    rep = ops.from_host(a)
+    nlimb = ops.nlimb
+    q, n = plan.q, plan.n
+
+    def local_fn(*flat):
+        ar = flat[:nlimb]
+        w_ = flat[nlimb : 2 * nlimb]
+        wc_ = flat[2 * nlimb :]
+        return sixstep.fwd_sixstep(ar, ops, w_, wc_, q, None, strict=not lazy)
+
+    in_specs = tuple([P(axis)] * nlimb + [P(None)] * (2 * nlimb))
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn, mesh=mesh, in_specs=in_specs,
+            out_specs=tuple([P(axis)] * nlimb), check_vma=False,
+        )
+    )
+    return ops.to_host(fn(*rep, *w, *wc))

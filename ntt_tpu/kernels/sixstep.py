@@ -1,0 +1,200 @@
+"""Six-step (Bailey / four-step) negacyclic NTT -- the TPU-native fast path.
+
+Key structural fact (derived from the reference's bit-reversed twiddle
+convention, pre_compute.h:28-51 + src/ntt_reference.c:19-30): splitting
+N = N1*N2 and viewing the coefficient vector as an (N1, N2) matrix,
+
+  * the first log2(N1) Harvey stages touch only the N1 axis and use the
+    global table's prefix w[1:N1] -- i.e. they ARE independent column NTTs
+    vectorized across all N2 lanes;
+  * each remaining stage s' uses exactly the contiguous global-table slice
+    w[2^s' * N1 : 2^(s'+1) * N1], reshaped (N1, 2^s'), as per-row twiddles
+    -- i.e. row NTTs with row-dependent tables and NO separate twiddle-
+    scaling step (it is already folded into the global table).
+
+Hence the six-step decomposition here is *bit-exact* with the flat radix-2
+kernel (same butterflies, same twiddle values, same lazy bounds) while
+keeping the innermost vectorized axis wide and contiguous for the VPU:
+phase 1 vectorizes over N2 lanes, then one transpose, and phase 2
+vectorizes over N1 lanes.  This is the same role HEXL's depth-first
+recursion plays for CPU caches (third_party/hexl/fwd-ntt-avx512.c:310-328)
+-- re-derived for TPU memory layout instead of translated.
+
+The phase functions below are shared verbatim by the single-chip fused
+variant (this file) and the multi-chip distributed variant
+(dist/sixstep.py: phase 1 local, all_to_all transpose, phase 2 local with
+per-device twiddle column slices).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ntt_tpu.kernels.elems import tmap
+
+
+def default_split(n: int, min_lanes: int = 128) -> int:
+    """Pick n1 (log2 N1): balanced split, biased so N2 >= min_lanes."""
+    logn = n.bit_length() - 1
+    n1 = logn // 2
+    while n1 > 1 and (1 << (logn - n1)) < min_lanes:
+        n1 -= 1
+    return max(1, min(n1, logn - 1))
+
+
+def _stage_axis1(a_rep, m: int, t: int, lanes: int, bfly):
+    """One butterfly stage along the second-to-last axis of (..., M, L)."""
+    lead = a_rep[0].shape[:-2]
+    shape = lead + (m, 2, t, lanes)
+    v = tmap(lambda l: l.reshape(shape), a_rep)
+    x = tmap(lambda l: l[..., 0, :, :], v)
+    y = tmap(lambda l: l[..., 1, :, :], v)
+    nx, ny = bfly(x, y)
+    return tmap(
+        lambda xl, yl: jnp.stack([xl, yl], axis=-3).reshape(lead + (2 * m * t, lanes)),
+        nx,
+        ny,
+    )
+
+
+def _col_tw(w_rep, m: int):
+    """Column-phase twiddles for the stage with m groups: w[m:2m]."""
+    return tmap(lambda l: l[m : 2 * m].reshape(m, 1, 1), w_rep)
+
+
+def _row_tw(w_rep, m2: int, n1_size: int, col0, ncols: int):
+    """Row-phase twiddles for stage s' (m2 = 2^s' groups within each row):
+    global slice w[m2*N1 : 2*m2*N1] viewed (N1, m2), transposed to
+    (m2, ncols) for rows [col0, col0+ncols).  col0 may be a traced value
+    (per-device offset in the distributed variant)."""
+
+    def slice_one(l):
+        tw = l[m2 * n1_size : 2 * m2 * n1_size].reshape(n1_size, m2).T
+        tw = jax.lax.dynamic_slice_in_dim(tw, col0, ncols, axis=1)
+        return tw.reshape(m2, 1, ncols)
+
+    return tmap(slice_one, w_rep)
+
+
+# ---------------------------------------------------------------------------
+# phase functions (shared with dist/sixstep.py)
+# ---------------------------------------------------------------------------
+
+
+def fwd_phase1(a, ops, w, wc, q: int, n1_size: int, lanes: int):
+    """Forward column stages on (..., N1, L) -- all stages with m < N1."""
+    m, t = 1, n1_size >> 1
+    while m < n1_size:
+        wo, wco = _col_tw(w, m), _col_tw(wc, m)
+        a = _stage_axis1(a, m, t, lanes, lambda x, y: ops.fwd_bfly(x, y, wo, wco, q))
+        m <<= 1
+        t >>= 1
+    return a
+
+
+def fwd_phase2(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
+               col0, ncols: int):
+    """Forward row stages on the transposed view (..., N2, ncols), where
+    ncols is the local slice of the N1 axis starting at global column col0."""
+    m2, t2 = 1, n2_size >> 1
+    while m2 < n2_size:
+        wo = _row_tw(w, m2, n1_size, col0, ncols)
+        wco = _row_tw(wc, m2, n1_size, col0, ncols)
+        a = _stage_axis1(a, m2, t2, ncols, lambda x, y: ops.fwd_bfly(x, y, wo, wco, q))
+        m2 <<= 1
+        t2 >>= 1
+    return a
+
+
+def inv_phaseA(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
+               col0, ncols: int):
+    """Inverse row stages (global m = N/2 .. N1) on (..., N2, ncols)."""
+    logn2 = n2_size.bit_length() - 1
+    for s in reversed(range(logn2)):
+        m2, t2 = 1 << s, n2_size >> (s + 1)
+        wo = _row_tw(w, m2, n1_size, col0, ncols)
+        wco = _row_tw(wc, m2, n1_size, col0, ncols)
+        a = _stage_axis1(a, m2, t2, ncols, lambda x, y: ops.bkw_bfly(x, y, wo, wco, q))
+    return a
+
+
+def inv_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, final_tmp, final_con,
+               q: int, n1_size: int, lanes: int):
+    """Inverse column stages (global m = N1/2 .. 2) plus the fused final
+    n_inv stage, on (..., N1, L)."""
+    logn1 = n1_size.bit_length() - 1
+    for s in reversed(range(1, logn1)):
+        m, t = 1 << s, n1_size >> (s + 1)
+        wo, wco = _col_tw(w, m), _col_tw(wc, m)
+        a = _stage_axis1(a, m, t, lanes, lambda x, y: ops.bkw_bfly(x, y, wo, wco, q))
+    x = tmap(lambda l: l[..., : n1_size // 2, :], a)
+    y = tmap(lambda l: l[..., n1_size // 2 :, :], a)
+    nx, ny = ops.bkw_final(x, y, n_inv_op, n_inv_con, final_tmp, final_con, q)
+    return tmap(lambda xl, yl: jnp.concatenate([xl, yl], axis=-2), nx, ny)
+
+
+# ---------------------------------------------------------------------------
+# single-chip fused transforms
+# ---------------------------------------------------------------------------
+
+
+def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
+                strict: bool = True, keep_transposed: bool = False):
+    """Forward NTT via six-step.  a_rep: rep of shape (..., N).  Returns rep
+    of shape (..., N) in standard bit-reversed output order, or -- with
+    keep_transposed -- in the (N2, N1)-flattened layout (the analog of the
+    reference's unordered-output contract,
+    src/ntt_radix4_avx512_ifma_unordered.c; undo with
+    fix_transposed_order)."""
+    n = a_rep[0].shape[-1]
+    logn = n.bit_length() - 1
+    if n1_log is None:
+        n1_log = default_split(n)
+    n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+    lead = a_rep[0].shape[:-1]
+
+    a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
+    a = fwd_phase1(a, ops, w_rep, w_con_rep, q, n1, n2)
+    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+    a = fwd_phase2(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1)
+    if strict:
+        a = ops.reduce_4q_to_q(a, q)
+    if not keep_transposed:
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+    return tmap(lambda l: l.reshape(lead + (n,)), a)
+
+
+def fix_transposed_order(a, n1_log: int):
+    """Undo the keep_transposed layout: the analog of fix_a_order
+    (tests/test_correctness.c:179-209) for this framework's documented
+    layout descriptor."""
+    n = a.shape[-1]
+    logn = n.bit_length() - 1
+    n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+    lead = a.shape[:-1]
+    return a.reshape(lead + (n2, n1)).swapaxes(-1, -2).reshape(lead + (n,))
+
+
+def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
+                final_tmp: int, final_con: int, q: int,
+                n1_log: int | None = None):
+    """Inverse NTT via six-step (strict output).  final_tmp/final_con are
+    the host-precomputed fused constants for the last stage (see
+    kernels/radix2._final_mulop)."""
+    n = a_rep[0].shape[-1]
+    logn = n.bit_length() - 1
+    if n1_log is None:
+        n1_log = default_split(n)
+    n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+    lead = a_rep[0].shape[:-1]
+
+    a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
+    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+    a = inv_phaseA(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1)
+    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+    a = inv_phaseB(
+        a, ops, w_rep, w_con_rep, n_inv_op, n_inv_con, final_tmp, final_con,
+        q, n1, n2,
+    )
+    return tmap(lambda l: l.reshape(lead + (n,)), a)

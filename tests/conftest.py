@@ -53,7 +53,6 @@ FIXTURES_FAST = [
     params_mod.FIXTURES[9],   # m=14, q 29-bit (u32-path boundary)
     params_mod.FIXTURES[13],  # m=14, q 51-bit
     params_mod.FIXTURES[15],  # m=15, q 51-bit odd m
-    params_mod.FIXTURES[18],  # m=17, q 33-bit
 ]
 
 

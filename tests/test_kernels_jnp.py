@@ -18,7 +18,13 @@ from ntt_tpu.plan import get_plan
 from conftest import FIXTURES_ALL, FIXTURES_FAST, fixture_id, make_input
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("p", FIXTURES_ALL, ids=fixture_id)
+def test_radix2_u64_lazy_bitexact_full(p, rng):
+    test_radix2_u64_lazy_bitexact(p, rng)
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
 def test_radix2_u64_lazy_bitexact(p, rng):
     plan = get_plan(p)
     a = make_input(rng, p.n, p.q)
@@ -36,7 +42,13 @@ def test_radix2_u64_roundtrip(p, rng):
     np.testing.assert_array_equal(back, a)
 
 
+@pytest.mark.full
 @pytest.mark.parametrize("p", FIXTURES_ALL, ids=fixture_id)
+def test_radix4_u64_lazy_bitexact_full(p, rng):
+    test_radix4_u64_lazy_bitexact(p, rng)
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
 def test_radix4_u64_lazy_bitexact(p, rng):
     plan = get_plan(p)
     a = make_input(rng, p.n, p.q)
@@ -117,6 +129,55 @@ def test_auto_dispatch_and_guards(rng):
         api.fwd_ntt(make_input(rng, big.n, big.q), big, variant="radix2-u32")
     with pytest.raises(KeyError):
         api.fwd_ntt(a, small, variant="nope")
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_sixstep_fwd_bitexact(p, rng):
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q, batch=2)
+    got = api.fwd_ntt(a, p, variant="sixstep")
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_sixstep_roundtrip(p, rng):
+    a = make_input(rng, p.n, p.q)
+    f = api.fwd_ntt(a, p, variant="sixstep")
+    back = api.inv_ntt(f, p, variant="sixstep")
+    np.testing.assert_array_equal(back, a)
+
+
+def test_sixstep_u64_lazy_bitexact(rng):
+    p = [x for x in FIXTURES_ALL if x.q.bit_length() > 30][0]
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    got = api.fwd_ntt(a, p, variant="sixstep", lazy=True)
+    want = rm.fwd_ntt_harvey_lazy(a, p.q, plan.w, plan.w_con)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sixstep_keep_transposed_layout(rng):
+    """The unordered-output contract: transform in transposed layout +
+    documented fix_order permutation == ordered output (the analog of
+    fix_a_order, tests/test_correctness.c:179-209)."""
+    from ntt_tpu.kernels import sixstep as ss
+    from ntt_tpu.kernels.elems import U32Ops
+
+    p = FIXTURES_ALL[6]
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    w, wc, _, _ = plan.dev_r2_u32
+    n1_log = ss.default_split(p.n)
+    out_t = U32Ops.to_host(
+        ss.fwd_sixstep(
+            U32Ops.from_host(a), U32Ops, (w,), (wc,), p.q, n1_log,
+            keep_transposed=True,
+        )
+    )
+    fixed = ss.fix_transposed_order(out_t, n1_log)
+    want = api.fwd_ntt(a, p, variant="radix2")
+    np.testing.assert_array_equal(fixed, want)
 
 
 def test_cross_variant_strict_equality(rng):
