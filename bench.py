@@ -24,46 +24,41 @@ import sys
 import time
 
 
-def _measure_chain(step, x0, reps: int, k1: int, k2: int) -> float:
-    """Per-call device time via the pipelined-difference method:
-    (T(k2 chained calls) - T(k1)) / (k2 - k1), min over reps.
+def _measure_loop(body, x0, reps: int, k1: int, k2: int) -> float:
+    """Per-iteration device time via on-device loop differencing:
+    jit(fori_loop(k, body)) timed at k=k1 and k=k2 (same executable,
+    dynamic trip count); returns (T(k2)-T(k1))/(k2-k1) using min-of-reps.
 
-    Chaining output->input forces sequential device execution and a single
-    tiny fetch forces completion.  This is robust on backends where
-    block_until_ready does not actually block (the axon TPU tunnel has
-    ~250ms RPC latency and async dispatch), and subtracts both the fixed
-    RPC latency and the dispatch overhead -- the accelerator analog of the
+    This is the only reliable protocol on the axon TPU tunnel, where RPC
+    latency is ~250ms with high variance and block_until_ready does not
+    actually block: all iteration happens on device in ONE dispatch, and a
+    tiny output fetch forces completion.  The accelerator analog of the
     upstream min-of-means protocol (tests/measurements.h:38-75)."""
-    import numpy as np
-
-    def chain(k):
-        x = x0
-        for _ in range(k):
-            x = step(x)
-        np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:1]
-        return None
-
     import jax
+    import numpy as np
+    from jax import lax
 
-    chain(2)  # warmup / compile
-    best = float("inf")
-    for _ in range(reps):
+    @jax.jit
+    def run(x, k):
+        return lax.fori_loop(0, k, lambda i, v: body(v), x)
+
+    def timed(k):
         t0 = time.perf_counter()
-        chain(k1)
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        chain(k2)
-        t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / (k2 - k1))
-    return best
+        out = run(x0, k)
+        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        return time.perf_counter() - t0
+
+    timed(k1)  # compile + warm
+    timed(k2)
+    lo = min(timed(k1) for _ in range(reps))
+    hi = min(timed(k2) for _ in range(reps))
+    return (hi - lo) / (k2 - k1)
 
 
 def headline(batch: int, reps: int, inner: int, m: int = 14, q_bits: int = 62):
     import numpy as np
 
     from ntt_tpu import modmath as mm
-    from ntt_tpu.api import _jit_fwd_sixstep
-    from ntt_tpu.kernels.elems import U64Ops
     from ntt_tpu.params import bench_params
     from ntt_tpu.plan import get_plan
 
@@ -73,12 +68,14 @@ def headline(batch: int, reps: int, inner: int, m: int = 14, q_bits: int = 62):
     a = rng.integers(0, p.q, size=(batch, p.n), dtype=np.uint64)
     a_rep = mm.from_u64(a)
     w, wc, _, _ = plan.dev_r2_u64
-    fn = _jit_fwd_sixstep(p.q, False, None, U64Ops.nlimb)
+    from ntt_tpu.kernels import sixstep as ss
+    from ntt_tpu.kernels.elems import U64Ops as Ops
 
-    def step(x_rep):
-        return fn(*x_rep, *w, *wc)  # strict output is a valid next input
+    def body(x_rep):
+        # strict output is a valid next input
+        return ss.fwd_sixstep(x_rep, Ops, w, wc, p.q, strict=True)
 
-    sec = _measure_chain(step, a_rep, reps=reps, k1=2, k2=2 + inner)
+    sec = _measure_loop(body, a_rep, reps=reps, k1=2, k2=2 + inner)
     tps = batch / sec
     butterflies = (p.n // 2) * m
     ns_per_butterfly = sec / batch / butterflies * 1e9
@@ -136,7 +133,7 @@ def main() -> None:
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--inner", type=int, default=10)
+    ap.add_argument("--inner", type=int, default=50)
     ap.add_argument("--m", type=int, default=14)
     ap.add_argument("--q-bits", type=int, default=62)
     ap.add_argument("--suite", action="store_true")

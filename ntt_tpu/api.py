@@ -222,6 +222,50 @@ register(
 )
 
 
+# -- MXU matmul variant ------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_mxu(q: int, psi: int, n: int):
+    from ntt_tpu.kernels import mxu
+
+    tabs = mxu.get_mxu_tables(q, psi, n)
+    return jax.jit(lambda a: mxu.fwd_mxu(a, tabs, q))
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_mxu(q: int, psi: int, n: int):
+    from ntt_tpu.kernels import mxu
+
+    tabs = mxu.get_mxu_inv_tables(q, psi, n)
+    return jax.jit(lambda a: mxu.inv_mxu(a, tabs, q))
+
+
+def _mxu_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    # output is always strict (the matmul recombination fully reduces)
+    fn = _jit_fwd_mxu(plan.q, plan.params.w, plan.n)
+    out = fn(jnp.asarray(a.astype(np.uint32)))
+    return np.asarray(out).astype(np.uint64)
+
+
+def _mxu_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    fn = _jit_inv_mxu(plan.q, plan.params.w, plan.n)
+    out = fn(jnp.asarray(a.astype(np.uint32)))
+    return np.asarray(out).astype(np.uint64)
+
+
+register(
+    Variant(
+        "mxu",
+        fwd=_mxu_fwd,
+        inv=_mxu_inv,
+        max_q_bits=28,
+        description="four-step NTT as int8 limb matmuls on the MXU "
+        "(128x128 systolic array); q < 2^28",
+    )
+)
+
+
 # -- six-step variants -------------------------------------------------------
 
 

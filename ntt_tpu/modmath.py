@@ -245,6 +245,15 @@ def cond_sub32(v, kq: int):
     return jnp.where(v < kqc, v, v - kqc)
 
 
+def barrett_reduce32(v, q: int):
+    """Full reduction of any uint32 value to [0, q), q < 2^31: Barrett with
+    mu = floor(2^32 / q) gives r = v - q*floor(v*mu/2^32) in [0, 3q), then
+    two conditional subtracts."""
+    mu = np.uint32((1 << 32) // q)
+    r = v - mulhi32(mu, v) * np.uint32(q)
+    return cond_sub32(cond_sub32(r, 2 * q), q)
+
+
 def reduce32(v, q: int, from_factor: int):
     """Reduce v < from_factor*q down to [0, q) by conditional subtracts."""
     f = from_factor

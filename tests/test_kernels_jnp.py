@@ -180,6 +180,37 @@ def test_sixstep_keep_transposed_layout(rng):
     np.testing.assert_array_equal(fixed, want)
 
 
+@pytest.mark.parametrize(
+    "p",
+    [p for p in FIXTURES_FAST if p.q < (1 << 28)],
+    ids=fixture_id,
+)
+def test_mxu_fwd_bitexact(p, rng):
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q, batch=3)
+    got = api.fwd_ntt(a, p, variant="mxu")
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "p",
+    [p for p in FIXTURES_FAST if p.q < (1 << 28)],
+    ids=fixture_id,
+)
+def test_mxu_roundtrip(p, rng):
+    a = make_input(rng, p.n, p.q, batch=2)
+    f = api.fwd_ntt(a, p, variant="mxu")
+    back = api.inv_ntt(f, p, variant="mxu")
+    np.testing.assert_array_equal(back, a)
+
+
+def test_mxu_guards(rng):
+    big = [p for p in FIXTURES_ALL if p.q.bit_length() > 28][0]
+    with pytest.raises(ValueError, match="supports q"):
+        api.fwd_ntt(make_input(rng, big.n, big.q), big, variant="mxu")
+
+
 def test_cross_variant_strict_equality(rng):
     """All registered forward variants agree on strict outputs (the
     reference's single-oracle memcmp pattern)."""
