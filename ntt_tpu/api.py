@@ -208,6 +208,7 @@ register(
         "radix4",
         fwd=_r4_u64_fwd,
         inv=_r4_u64_inv,
+        max_q_bits=61,  # lazy bound is 8q: needs 8q < 2^64
         description="radix-4 five-twiddle, u64 limb pairs (ref: src/ntt_radix4.c)",
     )
 )
@@ -270,14 +271,16 @@ register(
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int):
+def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = False):
     ops = U32Ops if nlimb == 1 else U64Ops
 
     def core(*flat):
         a = flat[:nlimb]
         w = flat[nlimb : 2 * nlimb]
         wc = flat[2 * nlimb :]
-        return sixstep.fwd_sixstep(a, ops, w, wc, q, n1_log, strict=not lazy)
+        return sixstep.fwd_sixstep(
+            a, ops, w, wc, q, n1_log, strict=not lazy, keep_transposed=keep_t
+        )
 
     return jax.jit(core)
 
@@ -339,6 +342,284 @@ register(
 )
 
 
+def _sixstep_unordered_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    """Forward NTT in the documented transposed layout (skips the final
+    transpose) -- the analog of the reference's unordered variant
+    (src/ntt_radix4_avx512_ifma_unordered.c): callers repair order with
+    output_layout(...).fix, or never repair at all when chaining
+    NTT -> pointwise -> inverse-NTT."""
+    n1_log = sixstep.default_split(plan.n)
+    if plan.supports_u32_radix2:
+        w, wc, _, _ = plan.dev_r2_u32
+        ops, w_rep, wc_rep = U32Ops, (w,), (wc,)
+    else:
+        (wlo, whi), (clo, chi), _, _ = plan.dev_r2_u64
+        ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
+    a_rep = ops.from_host(a)
+    out = _jit_fwd_sixstep(plan.q, lazy, n1_log, ops.nlimb, keep_t=True)(
+        *a_rep, *w_rep, *wc_rep
+    )
+    return ops.to_host(out)
+
+
+register(
+    Variant(
+        "sixstep-unordered",
+        fwd=_sixstep_unordered_fwd,
+        inv=None,
+        description="six-step forward with unordered (transposed-layout) "
+        "output + external fix-up permutation, the TPU-native form of the "
+        "reference's unordered contract "
+        "(src/ntt_radix4_avx512_ifma_unordered.c + fix_a_order)",
+    )
+)
+
+
+def output_layout(variant: str, params_or_plan):
+    """Layout descriptor for a variant's forward output (layouts.standard
+    unless the variant documents otherwise)."""
+    from ntt_tpu.kernels import layouts
+
+    plan = _resolve(params_or_plan)
+    if variant == "sixstep-unordered":
+        return layouts.transposed(plan.n, sixstep.default_split(plan.n))
+    return layouts.standard(plan.n)
+
+
+# -- mixed-radix r4r2 variant -------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_r4r2(q: int, lazy: bool, nlimb: int):
+    from ntt_tpu.kernels import mixed
+
+    def core(*flat):
+        a = flat[:nlimb]
+        w, wc = flat[nlimb : 2 * nlimb], flat[2 * nlimb : 3 * nlimb]
+        w4, w4c = flat[3 * nlimb : 4 * nlimb], flat[4 * nlimb :]
+        if nlimb == 1:
+            fn = mixed.fwd_lazy_u32 if lazy else mixed.fwd_u32
+            return (fn(a[0], w[0], wc[0], w4[0], w4c[0], q),)
+        fn = mixed.fwd_lazy_u64 if lazy else mixed.fwd_u64
+        return fn(a, w, wc, w4, w4c, q)
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_r4r2(q: int, n_inv_op: int, n_inv_con: int, nlimb: int):
+    from ntt_tpu.kernels import mixed
+
+    def core(*flat):
+        a = flat[:nlimb]
+        w, wc = flat[nlimb : 2 * nlimb], flat[2 * nlimb : 3 * nlimb]
+        w4, w4c = flat[3 * nlimb : 4 * nlimb], flat[4 * nlimb :]
+        if nlimb == 1:
+            return (
+                mixed.inv_u32(a[0], w[0], wc[0], w4[0], w4c[0], n_inv_op, n_inv_con, q),
+            )
+        return mixed.inv_u64(a, w, wc, w4, w4c, n_inv_op, n_inv_con, q)
+
+    return jax.jit(core)
+
+
+def _r4r2_reps(plan: NttPlan, inverse: bool):
+    if plan.supports_u32_radix4:
+        ops = U32Ops
+        if inverse:
+            _, _, w, wc = plan.dev_r2_u32
+            _, _, w4, w4c = plan.dev_r4_u32
+        else:
+            w, wc, _, _ = plan.dev_r2_u32
+            w4, w4c, _, _ = plan.dev_r4_u32
+        return ops, (w,), (wc,), (w4,), (w4c,)
+    ops = U64Ops
+    if inverse:
+        _, _, w, wc = plan.dev_r2_u64
+        _, _, w4, w4c = plan.dev_r4_u64
+    else:
+        w, wc, _, _ = plan.dev_r2_u64
+        w4, w4c, _, _ = plan.dev_r4_u64
+    return ops, w, wc, w4, w4c
+
+
+def _r4r2_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    ops, w, wc, w4, w4c = _r4r2_reps(plan, inverse=False)
+    fn = _jit_fwd_r4r2(plan.q, lazy, ops.nlimb)
+    return ops.to_host(fn(*ops.from_host(a), *w, *wc, *w4, *w4c))
+
+
+def _r4r2_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    ops, w, wc, w4, w4c = _r4r2_reps(plan, inverse=True)
+    ninv_con = plan.n_inv_con32 if ops.nlimb == 1 else plan.n_inv_con
+    fn = _jit_inv_r4r2(plan.q, plan.params.n_inv, ninv_con, ops.nlimb)
+    return ops.to_host(fn(*ops.from_host(a), *w, *wc, *w4, *w4c))
+
+
+register(
+    Variant(
+        "r4r2",
+        fwd=_r4r2_fwd,
+        inv=_r4r2_inv,
+        max_q_bits=61,  # radix-4 sweeps bound 8q: needs 8q < 2^64
+        description="mixed radix: radix-4 five-twiddle sweeps + 4-stage "
+        "radix-2 tail, lazy bound 4q (ref: src/ntt_r4r2_avx512_ifma.c; "
+        "inverse is new scope)",
+    )
+)
+
+
+# -- Pallas fused variant (whole transform in VMEM) ---------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_pallas(q: int, lazy: bool, n1_log: int, nlimb: int, interpret: bool):
+    from ntt_tpu.kernels import pallas_fused as pf
+
+    ops = U32Ops if nlimb == 1 else U64Ops
+
+    def core(*flat):
+        a = flat[:nlimb]
+        tabs = flat[nlimb:]
+        return pf.fwd_fused(
+            a, ops, tabs, q, n1_log, strict=not lazy, interpret=interpret
+        )
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_pallas(
+    q: int, n_inv_op: int, n_inv_con: int, f_tmp: int, f_con: int,
+    n1_log: int, nlimb: int, interpret: bool,
+):
+    from ntt_tpu.kernels import pallas_fused as pf
+
+    ops = U32Ops if nlimb == 1 else U64Ops
+
+    def core(*flat):
+        a = flat[:nlimb]
+        tabs = flat[nlimb:]
+        return pf.inv_fused(
+            a, ops, tabs, n_inv_op, n_inv_con, f_tmp, f_con, q, n1_log,
+            interpret=interpret,
+        )
+
+    return jax.jit(core)
+
+
+def _pallas_interpret() -> bool:
+    # real Mosaic kernels on TPU; interpreter elsewhere (CPU tests)
+    return jax.default_backend() != "tpu"
+
+
+def _pallas_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    from ntt_tpu.kernels import pallas_fused as pf
+
+    nlimb = 1 if plan.supports_u32_radix2 else 2
+    ops = U32Ops if nlimb == 1 else U64Ops
+    n1_log = pf.pick_split(plan.n)
+    tabs = plan.pallas_tables(False, n1_log, nlimb)
+    fn = _jit_fwd_pallas(plan.q, lazy, n1_log, nlimb, _pallas_interpret())
+    return ops.to_host(fn(*ops.from_host(a), *tabs))
+
+
+def _pallas_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    from ntt_tpu.kernels import pallas_fused as pf
+
+    nlimb = 1 if plan.supports_u32_radix2 else 2
+    ops = U32Ops if nlimb == 1 else U64Ops
+    word = 32 if nlimb == 1 else 64
+    ninv_con = plan.n_inv_con32 if nlimb == 1 else plan.n_inv_con
+    f_tmp, f_con = radix2._final_mulop(
+        plan.params.n_inv, ninv_con, int(plan.w_inv[1]), plan.q, word
+    )
+    n1_log = pf.pick_split(plan.n)
+    tabs = plan.pallas_tables(True, n1_log, nlimb)
+    fn = _jit_inv_pallas(
+        plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, n1_log, nlimb,
+        _pallas_interpret(),
+    )
+    return ops.to_host(fn(*ops.from_host(a), *tabs))
+
+
+register(
+    Variant(
+        "pallas-fused",
+        fwd=_pallas_fwd,
+        inv=_pallas_inv,
+        description="whole transform fused in one Pallas kernel: batch tile "
+        "+ all log2(N) stages VMEM-resident, one HBM read/write per poly "
+        "(TPU analog of the reference's radix4x4/r4r2/r2_16/HEXL fusion "
+        "family; interpreter-mode on non-TPU backends)",
+    )
+)
+
+
+# -- reference-parity aliases -------------------------------------------------
+# These variants exist in the reference as distinct *scheduling* of the same
+# butterfly mathematics (pointer walks, unroll factors, per-ISA twiddle
+# layouts).  On TPU those concerns belong to XLA/Mosaic, so each alias maps
+# to the framework kernel that owns the corresponding dataflow; the twiddle
+# layout builders (twiddles.expand_w_*) are retained and tested for plan
+# parity.
+
+register(
+    Variant(
+        "seal",
+        fwd=_r2_u64_fwd,
+        inv=_r2_u64_inv,
+        description="SEAL dwthandler radix-2 (third_party/seal/ntt_seal.c): "
+        "identical Harvey butterflies/lazy bounds to 'radix2'; SEAL's "
+        "pointer-walk scheduling and 4x unroll are XLA's job on TPU",
+    )
+)
+register(
+    Variant(
+        "radix4x4",
+        fwd=_r4_u64_fwd,
+        inv=_r4_u64_inv,
+        max_q_bits=61,  # radix-4 lazy bound 8q: needs 8q < 2^64
+        description="radix-16 cache-blocked variant (src/ntt_radix4x4.c): "
+        "same stage math as 'radix4'; the two-layers-per-residency fusion "
+        "it exists for is delivered by 'pallas-fused' on TPU (all layers "
+        "per VMEM residency); inverse is new scope",
+    )
+)
+
+
+def _hexl_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    # HEXL contract (include/ntt_hexl.h:30-39): accepts inputs in [0, 4q)
+    # (input_mod_factor up to 4); output_mod_factor 1 (strict) or 4 (lazy).
+    # The radix-2 stage kernel accepts lazy inputs < 4q by construction
+    # (first-stage 4q->2q reduction), so the contract maps directly.
+    return _r2_u64_fwd(plan, a, lazy)
+
+
+register(
+    Variant(
+        "hexl",
+        fwd=_hexl_fwd,
+        inv=None,
+        description="Intel HEXL-contract radix-2 "
+        "(third_party/hexl/fwd-ntt-avx512.c): input_mod_factor<=4 / "
+        "output_mod_factor in {1,4} via the lazy flag; forward-only like "
+        "the reference; HEXL's depth-first cache recursion maps to "
+        "'pallas-fused' VMEM residency",
+    )
+)
+register(
+    Variant(
+        "r2-16",
+        fwd=_pallas_fwd,
+        inv=_pallas_inv,
+        description="pure radix-2 with fused last-stage tail "
+        "(src/ntt_r2_16_avx512_ifma.c): on TPU the in-register tail fusion "
+        "generalizes to the fully-fused Pallas kernel; inverse is new scope",
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # top-level dispatch
 # ---------------------------------------------------------------------------
@@ -373,6 +654,17 @@ def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
     a = np.asarray(a, dtype=np.uint64)
     assert a.shape[-1] == plan.n, f"last dim {a.shape[-1]} != N {plan.n}"
     return v.fwd(plan, a, lazy)
+
+
+def fwd_ntt_dbl(a, b, params_or_plan, variant: str = "auto", lazy: bool = False):
+    """Transform two independent polynomials in one fused call -- the
+    generalization of the reference's `_dbl` interleaved variants
+    (src/ntt_reference.c:71-91); arbitrary batches go through fwd_ntt's
+    leading dims directly."""
+    out = fwd_ntt(
+        np.stack([np.asarray(a), np.asarray(b)]), params_or_plan, variant, lazy
+    )
+    return out[0], out[1]
 
 
 def inv_ntt(a, params_or_plan, variant: str = "auto"):

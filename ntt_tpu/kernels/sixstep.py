@@ -71,7 +71,12 @@ def _row_tw(w_rep, m2: int, n1_size: int, col0, ncols: int):
 
     def slice_one(l):
         tw = l[m2 * n1_size : 2 * m2 * n1_size].reshape(n1_size, m2).T
-        tw = jax.lax.dynamic_slice_in_dim(tw, col0, ncols, axis=1)
+        if isinstance(col0, int):
+            # static slice: required inside Pallas kernel bodies (Mosaic has
+            # no dynamic_slice) and cheaper everywhere else
+            tw = tw[:, col0 : col0 + ncols]
+        else:
+            tw = jax.lax.dynamic_slice_in_dim(tw, col0, ncols, axis=1)
         return tw.reshape(m2, 1, ncols)
 
     return tmap(slice_one, w_rep)

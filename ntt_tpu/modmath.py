@@ -81,8 +81,17 @@ def mul32_full(a, b):
 
 
 def mulhi32(a, b):
-    """High 32 bits of a 32x32 product."""
-    return mul32_full(a, b)[1]
+    """High 32 bits of a 32x32 product (skips assembling the low word)."""
+    a = a.astype(U32)
+    b = b.astype(U32)
+    a0 = a & MASK16
+    a1 = a >> 16
+    b0 = b & MASK16
+    b1 = b >> 16
+    p01 = a0 * b1
+    p10 = a1 * b0
+    mid = ((a0 * b0) >> 16) + (p01 & MASK16) + (p10 & MASK16)
+    return a1 * b1 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
 
 
 # ---------------------------------------------------------------------------
@@ -241,8 +250,10 @@ def shoup_mul32_q2(w, w_con, t, q: int):
 
 
 def cond_sub32(v, kq: int):
-    kqc = np.uint32(kq)
-    return jnp.where(v < kqc, v, v - kqc)
+    """v if v < kq else v - kq, as unsigned min(v, v - kq): when v < kq the
+    subtraction wraps above v, so min picks v -- one VPU op instead of a
+    compare+select (the reference's reduce_if_greater, avx512.h:43)."""
+    return jnp.minimum(v, v - np.uint32(kq))
 
 
 def barrett_reduce32(v, q: int):

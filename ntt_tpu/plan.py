@@ -166,6 +166,27 @@ class NttPlan:
         )
 
 
+    # -- Pallas fused-kernel twiddle stacks --------------------------------
+    def pallas_tables(self, inverse: bool, n1_log: int, nlimb: int):
+        """Stacked pre-broadcast per-stage twiddle tables for the Pallas
+        fused kernels (see kernels/pallas_fused.build_tables); cached per
+        (inverse, n1_log, nlimb)."""
+        key = (inverse, n1_log, nlimb)
+        cache = self.__dict__.setdefault("_pallas_tab_cache", {})
+        if key not in cache:
+            from ntt_tpu.kernels import pallas_fused as pf
+
+            n1, n2 = 1 << n1_log, self.n >> n1_log
+            if inverse:
+                w, wc = self.w_inv, (
+                    self.w_inv_con if nlimb == 2 else self.w_inv_con32
+                )
+            else:
+                w, wc = self.w, (self.w_con if nlimb == 2 else self.w_con32)
+            cache[key] = pf.build_tables(w, wc, n1, n2, nlimb)
+        return cache[key]
+
+
 @functools.lru_cache(maxsize=64)
 def _plan_cache(q: int, m: int, w: int, w_inv: int, n_inv: int) -> NttPlan:
     return NttPlan(NttParams(m=m, q=q, w=w, w_inv=w_inv, n_inv=n_inv))

@@ -22,6 +22,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is dominated by XLA:CPU compiles
+# (one per (q, m, variant) triple); cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

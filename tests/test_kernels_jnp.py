@@ -213,13 +213,16 @@ def test_mxu_guards(rng):
 
 def test_cross_variant_strict_equality(rng):
     """All registered forward variants agree on strict outputs (the
-    reference's single-oracle memcmp pattern)."""
+    reference's single-oracle memcmp pattern).  Layout-permuted variants
+    are repaired with their documented output_layout first (the fix_a_order
+    pattern, tests/test_correctness.c:179-209)."""
     p = FIXTURES_ALL[8]  # q=0xfff0001, 28-bit: every path supports it
     a = make_input(rng, p.n, p.q)
     outs = {}
     for name, v in api.variants().items():
         if p.q.bit_length() <= v.max_q_bits:
-            outs[name] = api.fwd_ntt(a, p, variant=name)
+            out = api.fwd_ntt(a, p, variant=name)
+            outs[name] = api.output_layout(name, p).fix(out)
     ref = outs.pop("radix2")
     for name, o in outs.items():
         np.testing.assert_array_equal(o, ref, err_msg=name)

@@ -1,0 +1,169 @@
+"""Parity tests for the r4r2 / pallas-fused / alias / unordered variants.
+
+Same oracle strategy as test_kernels_jnp.py (reference pattern:
+tests/test_correctness.c): strict forward outputs must be bit-exact
+against the radix-2 Harvey oracle, inverses must round-trip exactly,
+layout-permuted outputs must match after the documented fix-up.
+"""
+
+import numpy as np
+import pytest
+
+from ntt_tpu import api
+from ntt_tpu import modmath as mm
+from ntt_tpu import refmodel as rm
+from ntt_tpu.plan import get_plan
+
+from conftest import FIXTURES_ALL, FIXTURES_FAST, fixture_id, make_input
+
+# small fixtures only for interpreter-mode Pallas (CPU backend is slow)
+FIXTURES_SMALL = [p for p in FIXTURES_FAST if p.m <= 11]
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_r4r2_fwd_bitexact(p, rng):
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant="r4r2")
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_r4r2_roundtrip(p, rng):
+    a = make_input(rng, p.n, p.q)
+    f = api.fwd_ntt(a, p, variant="r4r2")
+    back = api.inv_ntt(f, p, variant="r4r2")
+    np.testing.assert_array_equal(back, a)
+
+
+def test_r4r2_lazy_bound(rng):
+    p = FIXTURES_ALL[0]
+    a = make_input(rng, p.n, p.q)
+    lazy = api.fwd_ntt(a, p, variant="r4r2", lazy=True)
+    assert lazy.max() < 4 * p.q
+    np.testing.assert_array_equal(
+        lazy % np.uint64(p.q), api.fwd_ntt(a, p, variant="r4r2")
+    )
+
+
+@pytest.mark.parametrize("p", FIXTURES_SMALL, ids=fixture_id)
+def test_pallas_fused_fwd_bitexact(p, rng):
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q, batch=2)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant="pallas-fused")
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", FIXTURES_SMALL, ids=fixture_id)
+def test_pallas_fused_roundtrip(p, rng):
+    a = make_input(rng, p.n, p.q, batch=2)
+    f = api.fwd_ntt(a, p, variant="pallas-fused")
+    back = api.inv_ntt(f, p, variant="pallas-fused")
+    np.testing.assert_array_equal(back, a)
+
+
+@pytest.mark.full
+def test_pallas_fused_u64_path_bitexact(rng):
+    """Two-limb path through the Pallas kernel (q > 2^30)."""
+    p = [x for x in FIXTURES_ALL if x.q.bit_length() > 30][0]
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant="pallas-fused")
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(api.inv_ntt(got, p, variant="pallas-fused"), a)
+
+
+def test_aliases_match_owners(rng):
+    """seal == radix2, radix4x4 == radix4, hexl(strict) == radix2(strict):
+    same kernels, documented scheduling aliases."""
+    p = FIXTURES_ALL[0]
+    a = make_input(rng, p.n, p.q)
+    np.testing.assert_array_equal(
+        api.fwd_ntt(a, p, variant="seal"), api.fwd_ntt(a, p, variant="radix2")
+    )
+    np.testing.assert_array_equal(
+        api.fwd_ntt(a, p, variant="radix4x4"), api.fwd_ntt(a, p, variant="radix4")
+    )
+    np.testing.assert_array_equal(
+        api.fwd_ntt(a, p, variant="hexl"), api.fwd_ntt(a, p, variant="radix2")
+    )
+    np.testing.assert_array_equal(
+        api.inv_ntt(api.fwd_ntt(a, p, variant="seal"), p, variant="seal"), a
+    )
+
+
+def test_hexl_mod_factor_contract(rng):
+    """HEXL contract (include/ntt_hexl.h:30-39): inputs up to 4q accepted;
+    output_mod_factor 4 (lazy) stays < 4q and reduces to the strict value."""
+    p = FIXTURES_ALL[0]
+    a = make_input(rng, p.n, p.q)
+    strict_out = api.fwd_ntt(a, p, variant="hexl")
+    # input_mod_factor=4: add q and 2q multiples, same residues
+    a4 = a + np.uint64(p.q) * (1 + (a % np.uint64(3)))
+    assert a4.max() < 4 * p.q
+    np.testing.assert_array_equal(
+        api.fwd_ntt(a4, p, variant="hexl") , strict_out
+    )
+    lazy = api.fwd_ntt(a, p, variant="hexl", lazy=True)
+    assert lazy.max() < 4 * p.q
+    np.testing.assert_array_equal(lazy % np.uint64(p.q), strict_out)
+    with pytest.raises(ValueError, match="no inverse"):
+        api.inv_ntt(strict_out, p, variant="hexl")
+
+
+def test_unordered_layout_contract(rng):
+    p = FIXTURES_ALL[6]
+    a = make_input(rng, p.n, p.q)
+    raw = api.fwd_ntt(a, p, variant="sixstep-unordered")
+    lay = api.output_layout("sixstep-unordered", p)
+    want = api.fwd_ntt(a, p, variant="radix2")
+    assert not (raw == want).all()  # genuinely permuted
+    np.testing.assert_array_equal(lay.fix(raw), want)
+    np.testing.assert_array_equal(lay.unfix(lay.fix(raw)), raw)
+    assert api.output_layout("radix2", p).name == "standard"
+
+
+def test_fwd_ntt_dbl(rng):
+    p = FIXTURES_ALL[0]
+    a = make_input(rng, p.n, p.q)
+    b = make_input(rng, p.n, p.q)
+    fa, fb = api.fwd_ntt_dbl(a, b, p)
+    np.testing.assert_array_equal(fa, api.fwd_ntt(a, p))
+    np.testing.assert_array_equal(fb, api.fwd_ntt(b, p))
+
+
+def test_radix4_family_61bit_bound(rng):
+    """The radix-4 lazy representation reaches 8q, so 62-bit q overflows
+    uint64: the radix-4 family must refuse q >= 2^61 (radix-2's 4q bound
+    is where the 62-bit framework ceiling comes from), and work at 61."""
+    from ntt_tpu.params import NttParams
+
+    p61 = NttParams.generate(61, 8)
+    a = make_input(rng, p61.n, p61.q)
+    for v in ("radix4", "r4r2", "radix4x4"):
+        f = api.fwd_ntt(a, p61, variant=v)
+        np.testing.assert_array_equal(f, api.fwd_ntt(a, p61, variant="radix2"))
+    p62 = NttParams.generate(62, 8)
+    a62 = make_input(rng, p62.n, p62.q)
+    for v in ("radix4", "r4r2", "radix4x4"):
+        with pytest.raises(ValueError, match="supports q"):
+            api.fwd_ntt(a62, p62, variant=v)
+
+
+def test_layouts_module():
+    from ntt_tpu.kernels import layouts
+
+    lay = layouts.transposed(16, 2)  # n1=4, n2=4
+    a = np.arange(16)
+    fixed = lay.fix(a)
+    # standard index c1*n2+c2 lives at raw position c2*n1+c1: fixing the
+    # identity array yields the transpose permutation itself
+    np.testing.assert_array_equal(
+        fixed, np.arange(16).reshape(4, 4).T.reshape(-1)
+    )
+    np.testing.assert_array_equal(lay.unfix(fixed), a)
+    std = layouts.standard(16)
+    np.testing.assert_array_equal(std.fix(a), a)
