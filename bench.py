@@ -24,16 +24,21 @@ import sys
 import time
 
 
-def _measure_loop(body, x0, reps: int, k1: int, k2: int) -> float:
+def _measure_loop(body, x0, reps: int, k1: int, k2: int,
+                  target_s: float = 2.0) -> float:
     """Per-iteration device time via on-device loop differencing:
     jit(fori_loop(k, body)) timed at k=k1 and k=k2 (same executable,
     dynamic trip count); returns (T(k2)-T(k1))/(k2-k1) using min-of-reps.
 
     This is the only reliable protocol on the axon TPU tunnel, where RPC
-    latency is ~250ms with high variance and block_until_ready does not
+    latency is ~250ms with HIGH variance and block_until_ready does not
     actually block: all iteration happens on device in ONE dispatch, and a
     tiny output fetch forces completion.  The accelerator analog of the
-    upstream min-of-means protocol (tests/measurements.h:38-75)."""
+    upstream min-of-means protocol (tests/measurements.h:38-75).
+
+    k2 is auto-scaled until the k2-k1 device-time difference reaches
+    target_s seconds -- without this, fast kernels measure pure RPC noise
+    (observed: negative times at diff < ~0.5s)."""
     import jax
     import numpy as np
     from jax import lax
@@ -49,7 +54,13 @@ def _measure_loop(body, x0, reps: int, k1: int, k2: int) -> float:
         return time.perf_counter() - t0
 
     timed(k1)  # compile + warm
-    timed(k2)
+    base = min(timed(k1) for _ in range(2))
+    for _ in range(8):  # calibrate trip count
+        diff = min(timed(k2) for _ in range(2)) - base
+        if diff >= target_s or k2 >= 200_000:
+            break
+        scale = target_s / max(diff, target_s / 16)
+        k2 = min(200_000, max(k2 * 2, int(k2 * scale) + k1))
     lo = min(timed(k1) for _ in range(reps))
     hi = min(timed(k2) for _ in range(reps))
     return (hi - lo) / (k2 - k1)
@@ -66,14 +77,25 @@ def headline(batch: int, reps: int, inner: int, m: int = 14, q_bits: int = 62):
     plan = get_plan(p)
     rng = np.random.default_rng(0)
     a = rng.integers(0, p.q, size=(batch, p.n), dtype=np.uint64)
-    a_rep = mm.from_u64(a)
-    w, wc, _, _ = plan.dev_r2_u64
-    from ntt_tpu.kernels import sixstep as ss
-    from ntt_tpu.kernels.elems import U64Ops as Ops
+    from ntt_tpu.kernels import radix2, sixstep as ss
+    from ntt_tpu.kernels.elems import U32Ops, U64Ops
 
-    def body(x_rep):
-        # strict output is a valid next input
-        return ss.fwd_sixstep(x_rep, Ops, w, wc, p.q, strict=True)
+    # fastest measured path per modulus width (calibrated sweep, v5e):
+    # u32 single-lane six-step for q < 2^30, flat radix-2 u64 limb pairs
+    # above (XLA fuses the per-stage code better than the manual variants).
+    if plan.supports_u32_radix2:
+        w, wc, _, _ = plan.dev_r2_u32
+        a_rep = U32Ops.from_host(a)
+
+        def body(x):
+            return ss.fwd_sixstep(x, U32Ops, (w,), (wc,), p.q, strict=True)
+    else:
+        w, wc, _, _ = plan.dev_r2_u64
+        a_rep = mm.from_u64(a)
+
+        def body(x_rep):
+            # strict output is a valid next input
+            return radix2.fwd_u64(x_rep, w, wc, p.q)
 
     sec = _measure_loop(body, a_rep, reps=reps, k1=2, k2=2 + inner)
     tps = batch / sec
@@ -97,34 +119,74 @@ def host_baseline_tps(p, quick: bool) -> float | None:
         return None
 
 
+def _suite_bodies(plan, q_bits: int):
+    """Device-resident forward bodies per variant family (strict out ->
+    valid next input, so each body chains under fori_loop)."""
+    from ntt_tpu.kernels import mxu, pallas_fused as pf, radix2, radix4, sixstep as ss
+    from ntt_tpu.kernels.elems import U32Ops, U64Ops
+
+    p = plan.params
+    q = plan.q
+    bodies = {}
+    n1_log = pf.pick_split(plan.n)
+    if plan.supports_u32_radix2:
+        w, wc, _, _ = plan.dev_r2_u32
+        bodies["radix2-u32"] = (lambda x: radix2.fwd_u32(x, w, wc, q)), "u32"
+        bodies["sixstep-u32"] = (
+            lambda x: ss.fwd_sixstep((x,), U32Ops, (w,), (wc,), q, strict=True)[0]
+        ), "u32"
+        t1 = plan.pallas_tables(False, n1_log, 1)
+        bodies["pallas-u32"] = (
+            lambda x: pf.fwd_fused((x,), U32Ops, t1, q, n1_log, strict=True)[0]
+        ), "u32"
+    if plan.supports_u32_radix4:
+        w4, w4c, _, _ = plan.dev_r4_u32
+        bodies["radix4-u32"] = (lambda x: radix4.fwd_u32(x, w4, w4c, q)), "u32"
+        mt = mxu.get_mxu_tables(q, p.w, plan.n)
+        bodies["mxu"] = (lambda x: mxu.fwd_mxu(x, mt, q)), "u32"
+    (wl, wh), (cl, ch), _, _ = plan.dev_r2_u64
+    bodies["radix2-u64"] = (lambda x: radix2.fwd_u64(x, (wl, wh), (cl, ch), q)), "u64"
+    bodies["sixstep-u64"] = (
+        lambda x: ss.fwd_sixstep(x, U64Ops, (wl, wh), (cl, ch), q, strict=True)
+    ), "u64"
+    t2 = plan.pallas_tables(False, n1_log, 2)
+    bodies["pallas-u64"] = (
+        lambda x: pf.fwd_fused(x, U64Ops, t2, q, n1_log, strict=True)
+    ), "u64"
+    if plan.q.bit_length() <= 61:
+        w4u, w4cu, _, _ = plan.dev_r4_u64
+        bodies["radix4-u64"] = (
+            lambda x: radix4.fwd_u64(x, (w4u[0], w4u[1]), (w4cu[0], w4cu[1]), q)
+        ), "u64"
+    return bodies
+
+
 def suite(args) -> None:
-    """Per-variant latency table (stderr)."""
+    """Per-variant device-time table (stderr), loop-differencing protocol."""
+    import jax.numpy as jnp
     import numpy as np
 
-    from ntt_tpu import api
-    from ntt_tpu.params import FIXTURES
+    from ntt_tpu import modmath as mm
+    from ntt_tpu.params import bench_params
     from ntt_tpu.plan import get_plan
 
-    p = FIXTURES[6]  # q=0x10001, N=2^14
-    get_plan(p)
+    p = bench_params(m=args.m, q_bits=args.q_bits)
+    plan = get_plan(p)
     rng = np.random.default_rng(0)
     a = rng.integers(0, p.q, size=(args.batch, p.n), dtype=np.uint64)
-    print(f"variant timings at q={p.q:#x}, N=2^{p.m}, batch={args.batch}:",
-          file=sys.stderr)
-    for name, v in sorted(api.variants().items()):
-        if p.q.bit_length() > v.max_q_bits:
-            continue
-        t0 = time.perf_counter()
-        api.fwd_ntt(a, p, variant=name)  # compile + h2d
-        compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _ in range(args.inner):
-            api.fwd_ntt(a, p, variant=name)
-        per = (time.perf_counter() - t0) / args.inner
+    a32 = jnp.asarray(a.astype(np.uint32))
+    a64 = mm.from_u64(a)
+    print(
+        f"variant device timings at q={p.q:#x} ({p.q.bit_length()}-bit), "
+        f"N=2^{p.m}, batch={args.batch}:", file=sys.stderr,
+    )
+    for name, (body, rep) in sorted(_suite_bodies(plan, args.q_bits).items()):
+        x0 = a32 if rep == "u32" else a64
+        sec = _measure_loop(body, x0, reps=args.reps, k1=2, k2=2 + args.inner)
         print(
-            f"  {name:14s} {per/args.batch*1e6:10.1f} us/transform "
-            f"(incl. host<->dev; compile {compile_s:.1f}s)",
-            file=sys.stderr,
+            f"  {name:14s} {sec/args.batch*1e6:8.2f} us/transform "
+            f"({args.batch/sec:12,.0f} tps)",
+            file=sys.stderr, flush=True,
         )
 
 

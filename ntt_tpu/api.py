@@ -656,6 +656,38 @@ def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
     return v.fwd(plan, a, lazy)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_pointwise(q: int, nlimb: int):
+    if nlimb == 1:
+        return jax.jit(lambda a, b: (mm.mul_mod_q32(a[0], b[0], q),))
+
+    def core(alo, ahi, blo, bhi):
+        return mm.mul_mod_q((alo, ahi), (blo, bhi), q)
+
+    return jax.jit(lambda a, b: core(*a, *b))
+
+
+def pointwise_mul(a, b, params_or_plan):
+    """Element-wise (a * b) mod q for uint64 arrays of values in [0, q):
+    the NTT-domain product step of a negacyclic polynomial multiply."""
+    plan = _resolve(params_or_plan)
+    ops = U32Ops if plan.supports_u32_radix2 else U64Ops
+    fn = _jit_pointwise(plan.q, ops.nlimb)
+    return ops.to_host(fn(ops.from_host(np.asarray(a, dtype=np.uint64)),
+                          ops.from_host(np.asarray(b, dtype=np.uint64))))
+
+
+def negacyclic_mul(a, b, params_or_plan, variant: str = "auto"):
+    """Polynomial product in R_q[X]/(X^N + 1): NTT -> pointwise -> inverse
+    NTT.  This is the workload the reference's kernels exist to serve
+    (README.md:3-4); the strict forward outputs make the pointwise step's
+    [0, q) input contract hold by construction."""
+    plan = _resolve(params_or_plan)
+    fa = fwd_ntt(a, plan, variant)
+    fb = fwd_ntt(b, plan, variant)
+    return inv_ntt(pointwise_mul(fa, fb, plan), plan, variant)
+
+
 def fwd_ntt_dbl(a, b, params_or_plan, variant: str = "auto", lazy: bool = False):
     """Transform two independent polynomials in one fused call -- the
     generalization of the reference's `_dbl` interleaved variants

@@ -250,10 +250,11 @@ def shoup_mul32_q2(w, w_con, t, q: int):
 
 
 def cond_sub32(v, kq: int):
-    """v if v < kq else v - kq, as unsigned min(v, v - kq): when v < kq the
-    subtraction wraps above v, so min picks v -- one VPU op instead of a
-    compare+select (the reference's reduce_if_greater, avx512.h:43)."""
-    return jnp.minimum(v, v - np.uint32(kq))
+    """v if v < kq else v - kq.  (The reference's unsigned-min trick,
+    reduce_if_greater avx512.h:43, is NOT used: Mosaic cannot legalize
+    vector arith.minui, and XLA lowers this select just as well.)"""
+    kqc = np.uint32(kq)
+    return jnp.where(v < kqc, v, v - kqc)
 
 
 def barrett_reduce32(v, q: int):
@@ -272,3 +273,46 @@ def reduce32(v, q: int, from_factor: int):
         f >>= 1
         v = cond_sub32(v, f * q)
     return v
+
+
+# ---------------------------------------------------------------------------
+# Variable x variable modular multiply (for pointwise products in the NTT
+# domain -- Shoup needs a precomputed constant per multiplicand, so the
+# butterfly machinery doesn't apply; these use power-of-2^32 residue
+# splitting with Shoup-by-constant folds instead).
+# ---------------------------------------------------------------------------
+
+
+def mul_mod_q32(a, b, q: int):
+    """(a * b) mod q for uint32 arrays a, b < q < 2^30, strict output.
+
+    Split the 64-bit product hi*2^32 + lo; fold hi with the precomputed
+    constant 2^32 mod q (Shoup), reduce lo with Barrett."""
+    lo, hi = mul32_full(a, b)
+    c32 = (1 << 32) % q
+    c32_con = (c32 << 32) // q
+    t = shoup_mul32_q2(np.uint32(c32), np.uint32(c32_con), hi, q)  # < 2q
+    r = t + barrett_reduce32(lo, q)  # < 3q < 2^32
+    return cond_sub32(cond_sub32(r, 2 * q), q)
+
+
+def mul_mod_q(a: U64Pair, b: U64Pair, q: int) -> U64Pair:
+    """(a * b) mod q for u64 limb pairs a, b < q < 2^62, strict output.
+
+    The 128-bit product p3:p2:p1:p0 is folded as
+    p3*(2^96 mod q) + p2*(2^64 mod q) + p1*(2^32 mod q) + p0 using
+    Shoup-by-constant multiplies (each < 2q) with interleaved lazy
+    reductions; every intermediate stays < 2q + 2^32 < 2^64."""
+    p0, p1, p2, p3 = mul64_full(a, b)
+    folds = []
+    for k, limb in ((3, p3), (2, p2), (1, p1)):
+        c = (1 << (32 * k)) % q
+        c_con = (c << 64) // q
+        folds.append(
+            shoup_mul_q2(const_u64(c), const_u64(c_con), (limb, jnp.zeros_like(limb)), q)
+        )
+    acc = reduce_4q_to_2q(add64(folds[0], folds[1]), q)  # < 2q
+    acc = reduce_4q_to_2q(add64(acc, folds[2]), q)  # < 2q
+    acc = add64(acc, (p0, jnp.zeros_like(p0)))  # < 2q + 2^32 < 2^64
+    acc = cond_sub64(acc, const_u64(4 * q))
+    return reduce_4q_to_q(acc, q)

@@ -1,0 +1,83 @@
+"""Variable x variable modular multiply + negacyclic polynomial product.
+
+The mul_mod_q kernels are exhaustively property-tested against Python
+big-int arithmetic (the analog of the reference's UBSAN coverage of its
+hand-rolled 128-bit math); negacyclic_mul is pinned to the O(N^2)
+schoolbook product in R_q[X]/(X^N + 1).
+"""
+
+import numpy as np
+import pytest
+
+from ntt_tpu import api
+from ntt_tpu import modmath as mm
+from ntt_tpu.params import NttParams
+
+from conftest import FIXTURES_ALL, make_input
+
+
+@pytest.mark.parametrize("q_bits", [13, 29])
+def test_mul_mod_q32_property(q_bits, rng):
+    q = int(NttParams.generate(q_bits, 8).q)
+    vals = rng.integers(0, q, size=(2, 4096), dtype=np.uint64)
+    edge = np.array([0, 1, q - 1, q // 2], dtype=np.uint64)
+    a = np.concatenate([vals[0], edge, np.full(4, q - 1, dtype=np.uint64)])
+    b = np.concatenate([vals[1], edge[::-1], np.full(4, q - 1, dtype=np.uint64)])
+    import jax.numpy as jnp
+
+    got = np.asarray(
+        mm.mul_mod_q32(jnp.asarray(a.astype(np.uint32)),
+                       jnp.asarray(b.astype(np.uint32)), q)
+    ).astype(np.uint64)
+    want = (a.astype(object) * b.astype(object)) % q
+    np.testing.assert_array_equal(got, want.astype(np.uint64))
+
+
+@pytest.mark.parametrize("q_bits", [31, 33, 51, 62])
+def test_mul_mod_q_u64_property(q_bits, rng):
+    q = int(NttParams.generate(q_bits, 8).q)
+    vals = rng.integers(0, q, size=(2, 4096), dtype=np.uint64)
+    edge = np.array([0, 1, q - 1, q // 2, 1 << 32, (1 << 32) - 1], dtype=np.uint64)
+    a = np.concatenate([vals[0], edge, np.full(4, q - 1, dtype=np.uint64)])
+    b = np.concatenate([vals[1], edge[::-1], np.full(4, q - 1, dtype=np.uint64)])
+    got = mm.to_u64(mm.mul_mod_q(mm.from_u64(a), mm.from_u64(b), q))
+    want = (a.astype(object) * b.astype(object)) % q
+    np.testing.assert_array_equal(got, want.astype(np.uint64))
+
+
+def _schoolbook_negacyclic(a, b, q: int):
+    n = a.shape[-1]
+    c = np.zeros(n, dtype=object)
+    ao = a.astype(object)
+    bo = b.astype(object)
+    for i in range(n):
+        for j in range(n):
+            k = i + j
+            if k < n:
+                c[k] = (c[k] + ao[i] * bo[j]) % q
+            else:
+                c[k - n] = (c[k - n] - ao[i] * bo[j]) % q
+    return c.astype(np.uint64)
+
+
+@pytest.mark.parametrize("p", [FIXTURES_ALL[0], FIXTURES_ALL[13]],
+                         ids=lambda p: f"q={p.q:#x},m={p.m}")
+def test_negacyclic_mul_schoolbook(p, rng):
+    # keep N small for the O(N^2) oracle: use a fresh small-m instance at
+    # the fixture's modulus family
+    small = NttParams.generate(p.q.bit_length(), 6)
+    a = make_input(rng, small.n, small.q)
+    b = make_input(rng, small.n, small.q)
+    got = api.negacyclic_mul(a, b, small)
+    np.testing.assert_array_equal(got, _schoolbook_negacyclic(a, b, small.q))
+
+
+def test_negacyclic_mul_batched(rng):
+    small = NttParams.generate(29, 6)
+    a = make_input(rng, small.n, small.q, batch=3)
+    b = make_input(rng, small.n, small.q, batch=3)
+    got = api.negacyclic_mul(a, b, small)
+    for i in range(3):
+        np.testing.assert_array_equal(
+            got[i], _schoolbook_negacyclic(a[i], b[i], small.q)
+        )
