@@ -190,6 +190,24 @@ def suite(args) -> None:
         )
 
 
+def roofline(p, sec_per_transform: float, nlimb: int, peak_gbs: float) -> str:
+    """Achieved HBM bandwidth against the speed-of-light traffic model
+    (one read + one write of the coefficient data per transform) -- the
+    'speed of light' target from BASELINE.md.  >100% of the 2-pass model
+    means XLA is fusing stages below two full passes; the roofline is the
+    per-stage model (2 passes per radix-2 stage)."""
+    bytes_min = 2 * p.n * 4 * nlimb  # one read + one write
+    logn = p.m
+    gbs_min_model = bytes_min / sec_per_transform / 1e9
+    gbs_stage_model = bytes_min * logn / sec_per_transform / 1e9
+    return (
+        f"roofline: {gbs_min_model:.1f} GB/s on the 2-pass model "
+        f"({100 * gbs_min_model / peak_gbs:.1f}% of {peak_gbs:.0f} GB/s peak); "
+        f"per-stage model {gbs_stage_model:.0f} GB/s "
+        f"({100 * gbs_stage_model / peak_gbs:.0f}% of peak)"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
@@ -199,6 +217,10 @@ def main() -> None:
     ap.add_argument("--m", type=int, default=14)
     ap.add_argument("--q-bits", type=int, default=62)
     ap.add_argument("--suite", action="store_true")
+    ap.add_argument("--peak-gbs", type=float, default=819.0,
+                    help="HBM peak for the roofline line (v5e ~819 GB/s)")
+    ap.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of one headline batch here")
     args = ap.parse_args()
 
     if args.platform:
@@ -209,12 +231,29 @@ def main() -> None:
     if args.suite:
         suite(args)
 
+    if args.profile_dir:
+        import jax
+
+        from ntt_tpu import api
+        from ntt_tpu.params import bench_params
+        import numpy as np
+
+        p = bench_params(m=args.m, q_bits=args.q_bits)
+        a = np.random.default_rng(0).integers(
+            0, p.q, size=(args.batch, p.n), dtype=np.uint64
+        )
+        api.fwd_ntt(a, p)  # warm/compile outside the trace
+        with jax.profiler.trace(args.profile_dir):
+            api.fwd_ntt(a, p)
+        print(f"profiler trace written to {args.profile_dir}", file=sys.stderr)
+
     p, tps, ns_bf = headline(args.batch, args.reps, args.inner, args.m, args.q_bits)
     base = host_baseline_tps(p, quick=args.platform == "cpu")
     vs = tps / base if base else 1.0
 
     import jax
 
+    nlimb = 1 if p.q < (1 << 30) else 2
     print(
         f"device={jax.devices()[0].device_kind} q={p.q:#x} N=2^{p.m} "
         f"batch={args.batch}: {tps:,.0f} transforms/s, "
@@ -222,6 +261,7 @@ def main() -> None:
         f"{base:,.0f}/s -> {vs:.1f}x" if base else "",
         file=sys.stderr,
     )
+    print(roofline(p, 1.0 / tps, nlimb, args.peak_gbs), file=sys.stderr)
     print(
         json.dumps(
             {

@@ -286,7 +286,8 @@ def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = Fals
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int):
+def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int,
+                     input_t: bool = False):
     ops = U32Ops if nlimb == 1 else U64Ops
 
     def core(*flat):
@@ -294,7 +295,8 @@ def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int):
         w = flat[nlimb : 2 * nlimb]
         wc = flat[2 * nlimb :]
         return sixstep.inv_sixstep(
-            a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1_log
+            a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1_log,
+            input_transposed=input_t,
         )
 
     return jax.jit(core)
@@ -362,15 +364,40 @@ def _sixstep_unordered_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarr
     return ops.to_host(out)
 
 
+def _sixstep_unordered_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    """Inverse that CONSUMES the transposed layout directly (skips the
+    first six-step transpose): an unordered fwd -> pointwise -> this inv
+    chain never materializes standard order.  New scope -- the reference's
+    unordered variant is forward-only."""
+    n1_log = sixstep.default_split(plan.n)
+    word = 32 if plan.supports_u32_radix2 else 64
+    ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
+    f_tmp, f_con = radix2._final_mulop(
+        plan.params.n_inv, ninv_con, int(plan.w_inv[1]), plan.q, word
+    )
+    if plan.supports_u32_radix2:
+        _, _, wi, wic = plan.dev_r2_u32
+        ops, w_rep, wc_rep = U32Ops, (wi,), (wic,)
+    else:
+        _, _, (ilo, ihi), (iclo, ichi) = plan.dev_r2_u64
+        ops, w_rep, wc_rep = U64Ops, (ilo, ihi), (iclo, ichi)
+    fn = _jit_inv_sixstep(
+        plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, n1_log, ops.nlimb,
+        input_t=True,
+    )
+    return ops.to_host(fn(*ops.from_host(a), *w_rep, *wc_rep))
+
+
 register(
     Variant(
         "sixstep-unordered",
         fwd=_sixstep_unordered_fwd,
-        inv=None,
+        inv=_sixstep_unordered_inv,
         description="six-step forward with unordered (transposed-layout) "
         "output + external fix-up permutation, the TPU-native form of the "
         "reference's unordered contract "
-        "(src/ntt_radix4_avx512_ifma_unordered.c + fix_a_order)",
+        "(src/ntt_radix4_avx512_ifma_unordered.c + fix_a_order); the "
+        "inverse consumes the transposed layout directly (new scope)",
     )
 )
 
@@ -600,11 +627,12 @@ register(
     Variant(
         "hexl",
         fwd=_hexl_fwd,
-        inv=None,
+        inv=_r2_u64_inv,
         description="Intel HEXL-contract radix-2 "
         "(third_party/hexl/fwd-ntt-avx512.c): input_mod_factor<=4 / "
-        "output_mod_factor in {1,4} via the lazy flag; forward-only like "
-        "the reference; HEXL's depth-first cache recursion maps to "
+        "output_mod_factor in {1,4} via the lazy flag; the reference port "
+        "is forward-only -- the inverse here is new scope (the radix-2 "
+        "n_inv-fused inverse); HEXL's depth-first cache recursion maps to "
         "'pallas-fused' VMEM residency",
     )
 )
@@ -634,10 +662,13 @@ def _resolve(params_or_plan) -> NttPlan:
 
 
 def _auto_variant(plan: NttPlan, radix: int = 2) -> str:
+    """Measured-fastest path per modulus width (calibrated v5e sweep, see
+    README 'Performance'): six-step on u32 lanes below 2^30, flat radix-2
+    u64 limb pairs above."""
     if radix == 4 and plan.supports_u32_radix4:
         return "radix4-u32"
     if radix == 2 and plan.supports_u32_radix2:
-        return "radix2-u32"
+        return "sixstep"
     return "radix4" if radix == 4 else "radix2"
 
 

@@ -43,6 +43,14 @@ def default_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     return jax.make_mesh((len(devs),), (axis,), devices=devs)
 
 
+def mesh_2d(n_dp: int, n_sp: int, axes: tuple[str, str] = ("dp", "x")) -> Mesh:
+    """2-D mesh: batch ('dp') axis x transform-sharding ('x') axis.  On a
+    real slice the 'x' axis should map to an ICI ring (all_to_all rides
+    ICI); 'dp' needs no communication at all."""
+    devs = jax.devices()[: n_dp * n_sp]
+    return jax.make_mesh((n_dp, n_sp), axes, devices=devs)
+
+
 def _tables(plan: NttPlan, inverse: bool):
     if plan.supports_u32_radix2:
         w, wc, wi, wic = plan.dev_r2_u32
@@ -55,7 +63,8 @@ def _tables(plan: NttPlan, inverse: bool):
 
 @functools.lru_cache(maxsize=None)
 def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
-                  axis: str, strict: bool, mesh: Mesh):
+                  axis: str, strict: bool, mesh: Mesh,
+                  batch_axis: str | None = None):
     ops = U32Ops if nlimb == 1 else U64Ops
     logn = n.bit_length() - 1
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
@@ -81,8 +90,8 @@ def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
             a = ops.reduce_4q_to_q(a, q)
         return tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
 
-    a_spec = P(None, None, axis)  # (batch, N1, N2-sharded)
-    out_spec = P(None, axis, None)
+    a_spec = P(batch_axis, None, axis)  # (batch[, dp-sharded], N1, N2-sharded)
+    out_spec = P(batch_axis, axis, None)
     in_specs = tuple([a_spec] * nlimb + [P(None)] * (2 * nlimb))
     fn = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs,
@@ -94,7 +103,7 @@ def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
 @functools.lru_cache(maxsize=None)
 def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
                   axis: str, n_inv_op: int, n_inv_con: int, f_tmp: int,
-                  f_con: int, mesh: Mesh):
+                  f_con: int, mesh: Mesh, batch_axis: str | None = None):
     ops = U32Ops if nlimb == 1 else U64Ops
     logn = n.bit_length() - 1
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
@@ -118,8 +127,8 @@ def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         )
         return a
 
-    a_spec = P(None, axis, None)
-    out_spec = P(None, None, axis)
+    a_spec = P(batch_axis, axis, None)
+    out_spec = P(batch_axis, None, axis)
     in_specs = tuple([a_spec] * nlimb + [P(None)] * (2 * nlimb))
     fn = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs,
@@ -130,12 +139,14 @@ def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
 
 def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
                  n1_log: int | None = None, lazy: bool = False,
-                 axis: str = "x") -> np.ndarray:
-    """Forward NTT of (..., N) uint64 with the transform sharded over the
-    mesh.  Output order identical to the golden radix-2 kernel."""
+                 axis: str = "x", batch_axis: str | None = None) -> np.ndarray:
+    """Forward NTT of (..., N) uint64 with the transform sharded over mesh
+    axis `axis`; with `batch_axis` set (2-D mesh from mesh_2d), the batch
+    dim is simultaneously data-parallel over that axis.  Output order
+    identical to the golden radix-2 kernel."""
     if mesh is None:
         mesh = default_mesh(axis=axis)
-    ndev = mesh.devices.size
+    ndev = mesh.shape[axis]
     n = plan.n
     logn = n.bit_length() - 1
     if n1_log is None:
@@ -148,17 +159,19 @@ def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     squeeze = a.ndim == 1
     a3 = a.reshape((-1, n1, n2))
     rep = ops.from_host(a3)
-    fn = _jit_dist_fwd(plan.q, n, n1_log, ops.nlimb, ndev, axis, not lazy, mesh)
+    fn = _jit_dist_fwd(plan.q, n, n1_log, ops.nlimb, ndev, axis, not lazy,
+                       mesh, batch_axis)
     out = fn(*rep, *w, *wc)
     res = ops.to_host(out).reshape(a.shape)
     return res[0] if squeeze and res.ndim > a.ndim else res
 
 
 def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
-                 n1_log: int | None = None, axis: str = "x") -> np.ndarray:
+                 n1_log: int | None = None, axis: str = "x",
+                 batch_axis: str | None = None) -> np.ndarray:
     if mesh is None:
         mesh = default_mesh(axis=axis)
-    ndev = mesh.devices.size
+    ndev = mesh.shape[axis]
     n = plan.n
     logn = n.bit_length() - 1
     if n1_log is None:
@@ -177,7 +190,7 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     rep = ops.from_host(a3)
     fn = _jit_dist_inv(
         plan.q, n, n1_log, ops.nlimb, ndev, axis,
-        plan.params.n_inv, ninv_con, f_tmp, f_con, mesh,
+        plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis,
     )
     out = fn(*rep, *w, *wc)
     return ops.to_host(out).reshape(a.shape)

@@ -183,10 +183,13 @@ def fix_transposed_order(a, n1_log: int):
 
 def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
                 final_tmp: int, final_con: int, q: int,
-                n1_log: int | None = None):
+                n1_log: int | None = None, input_transposed: bool = False):
     """Inverse NTT via six-step (strict output).  final_tmp/final_con are
     the host-precomputed fused constants for the last stage (see
-    kernels/radix2._final_mulop)."""
+    kernels/radix2._final_mulop).  With input_transposed, the input is in
+    the keep_transposed layout of fwd_sixstep -- the first transpose is
+    skipped, so an unordered fwd -> pointwise -> inv chain never
+    materializes standard order (the payoff of the unordered contract)."""
     n = a_rep[0].shape[-1]
     logn = n.bit_length() - 1
     if n1_log is None:
@@ -194,8 +197,11 @@ def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
     lead = a_rep[0].shape[:-1]
 
-    a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
-    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+    if input_transposed:
+        a = tmap(lambda l: l.reshape(lead + (n2, n1)), a_rep)
+    else:
+        a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     a = inv_phaseA(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     a = inv_phaseB(

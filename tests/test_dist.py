@@ -81,6 +81,30 @@ def test_batch_parallel(rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_dist_2d_mesh_dp_x_sp(shape, rng):
+    """2-D mesh: batch data-parallel over 'dp' AND each transform sharded
+    over 'x' simultaneously -- the composed dp x sp mode."""
+    p = FIXTURES[6]
+    plan = get_plan(p)
+    mesh = dist.mesh_2d(*shape)
+    a = make_input(rng, p.n, p.q, batch=4)
+    got = dist.dist_fwd_ntt(a, plan, mesh=mesh, batch_axis="dp")
+    want = api.fwd_ntt(a, p, variant="radix2")
+    np.testing.assert_array_equal(got, want)
+    back = dist.dist_inv_ntt(got, plan, mesh=mesh, batch_axis="dp")
+    np.testing.assert_array_equal(back, a)
+
+
+def test_dist_2d_mesh_u64(rng):
+    p = FIXTURES[13]  # 51-bit q: u64 limb path
+    plan = get_plan(p)
+    mesh = dist.mesh_2d(2, 4)
+    a = make_input(rng, p.n, p.q, batch=2)
+    got = dist.dist_fwd_ntt(a, plan, mesh=mesh, batch_axis="dp")
+    np.testing.assert_array_equal(got, api.fwd_ntt(a, p, variant="radix2"))
+
+
 def test_custom_split(rng):
     p = FIXTURES[6]  # N=2^14
     plan = get_plan(p)

@@ -119,7 +119,7 @@ def test_auto_dispatch_and_guards(rng):
     small = FIXTURES_ALL[0]  # 13-bit q -> u32 path
     big = FIXTURES_ALL[13]  # 51-bit q -> u64 path
     a = make_input(rng, small.n, small.q)
-    assert api._auto_variant(get_plan(small)) == "radix2-u32"
+    assert api._auto_variant(get_plan(small)) == "sixstep"
     assert api._auto_variant(get_plan(big)) == "radix2"
     np.testing.assert_array_equal(
         api.fwd_ntt(a, small, variant="auto"),

@@ -110,8 +110,8 @@ def test_hexl_mod_factor_contract(rng):
     lazy = api.fwd_ntt(a, p, variant="hexl", lazy=True)
     assert lazy.max() < 4 * p.q
     np.testing.assert_array_equal(lazy % np.uint64(p.q), strict_out)
-    with pytest.raises(ValueError, match="no inverse"):
-        api.inv_ntt(strict_out, p, variant="hexl")
+    # inverse is new scope (reference HEXL port is forward-only)
+    np.testing.assert_array_equal(api.inv_ntt(strict_out, p, variant="hexl"), a)
 
 
 def test_unordered_layout_contract(rng):
@@ -124,6 +124,28 @@ def test_unordered_layout_contract(rng):
     np.testing.assert_array_equal(lay.fix(raw), want)
     np.testing.assert_array_equal(lay.unfix(lay.fix(raw)), raw)
     assert api.output_layout("radix2", p).name == "standard"
+    # the inverse consumes the transposed layout directly: the full chain
+    # round-trips without ever materializing standard order
+    np.testing.assert_array_equal(
+        api.inv_ntt(raw, p, variant="sixstep-unordered"), a
+    )
+
+
+def test_unordered_pointwise_chain(rng):
+    """unordered fwd -> pointwise -> unordered inv == negacyclic product
+    (the layout never repaired: permutations commute with elementwise
+    multiply)."""
+    from ntt_tpu.params import NttParams
+
+    small = NttParams.generate(40, 6)
+    a = make_input(rng, small.n, small.q)
+    b = make_input(rng, small.n, small.q)
+    fa = api.fwd_ntt(a, small, variant="sixstep-unordered")
+    fb = api.fwd_ntt(b, small, variant="sixstep-unordered")
+    got = api.inv_ntt(
+        api.pointwise_mul(fa, fb, small), small, variant="sixstep-unordered"
+    )
+    np.testing.assert_array_equal(got, api.negacyclic_mul(a, b, small))
 
 
 def test_fwd_ntt_dbl(rng):
