@@ -53,11 +53,12 @@ def cmd_correctness(args) -> int:
             if name in skip or p.q.bit_length() > v.max_q_bits:
                 continue
             t0 = time.perf_counter()
-            out = api.output_layout(name, p).fix(api.fwd_ntt(a, p, variant=name))
-            ok = bool((out == want).all())
+            raw = api.fwd_ntt(a, p, variant=name)
+            ok = bool((api.output_layout(name, p).fix(raw) == want).all())
             rt = True
             if ok and v.inv is not None:
-                rt = bool((api.inv_ntt(out, p, variant=name) == a).all())
+                # inverses consume the variant's NATIVE output layout
+                rt = bool((api.inv_ntt(raw, p, variant=name) == a).all())
             status = "OK" if (ok and rt) else ("FWD-MISMATCH" if not ok else "ROUNDTRIP-FAIL")
             failures += status != "OK"
             print(
