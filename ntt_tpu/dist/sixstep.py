@@ -196,6 +196,100 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     return ops.to_host(out).reshape(a.shape)
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
+                      axis: str, n_inv_op: int, n_inv_con: int, f_tmp: int,
+                      f_con: int, mesh: Mesh, batch_axis: str | None):
+    ops = U32Ops if nlimb == 1 else U64Ops
+    logn = n.bit_length() - 1
+    n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+
+    def fwd_local(a, w, wc):
+        """Forward phases, output LEFT in the transposed (..., N2, N1/D)
+        layout -- pointwise products don't care about coefficient order
+        (the unordered contract, at the distributed level)."""
+        a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev)
+        a = tmap(
+            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
+                                     concat_axis=l.ndim - 1, tiled=True),
+            a,
+        )
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+        col0 = lax.axis_index(axis) * (n1 // ndev)
+        a = sixstep.fwd_phase2(a, ops, w, wc, q, n1, n2, col0, n1 // ndev)
+        return ops.reduce_4q_to_q(a, q)
+
+    def local_fn(*flat):
+        a = flat[:nlimb]
+        b = flat[nlimb : 2 * nlimb]
+        w = flat[2 * nlimb : 3 * nlimb]
+        wc = flat[3 * nlimb : 4 * nlimb]
+        wi = flat[4 * nlimb : 5 * nlimb]
+        wic = flat[5 * nlimb :]
+        fc = ops.mul_mod(fwd_local(a, w, wc), fwd_local(b, w, wc), q)
+        # inverse starts exactly where the forward left off: phaseA consumes
+        # the transposed layout directly (no transpose, no collective here)
+        col0 = lax.axis_index(axis) * (n1 // ndev)
+        fc = sixstep.inv_phaseA(fc, ops, wi, wic, q, n1, n2, col0, n1 // ndev)
+        fc = tmap(lambda l: jnp.swapaxes(l, -1, -2), fc)
+        fc = tmap(
+            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 1,
+                                     concat_axis=l.ndim - 2, tiled=True),
+            fc,
+        )
+        return sixstep.inv_phaseB(
+            fc, ops, wi, wic, n_inv_op, n_inv_con, f_tmp, f_con, q, n1,
+            n2 // ndev,
+        )
+
+    io_spec = P(batch_axis, None, axis)  # natural (batch, N1, N2-sharded)
+    in_specs = tuple([io_spec] * (2 * nlimb) + [P(None)] * (4 * nlimb))
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=tuple([io_spec] * nlimb), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def dist_negacyclic_mul(a: np.ndarray, b: np.ndarray, plan: NttPlan,
+                        mesh: Mesh | None = None, n1_log: int | None = None,
+                        axis: str = "x",
+                        batch_axis: str | None = None) -> np.ndarray:
+    """Polynomial product in R_q[X]/(X^N+1) with every step sharded over
+    the mesh: two forward transforms, the pointwise product, and the
+    inverse run inside ONE shard_map/jit -- the NTT-domain intermediates
+    stay in the transposed shard layout (never materializing standard
+    order), so the whole pipeline costs exactly three all_to_all
+    collectives and no other communication."""
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    ndev = mesh.shape[axis]
+    n = plan.n
+    logn = n.bit_length() - 1
+    if n1_log is None:
+        n1_log = max(sixstep.default_split(n), (ndev - 1).bit_length())
+    n1 = 1 << n1_log
+    n2 = 1 << (logn - n1_log)
+
+    ops, w, wc = _tables(plan, inverse=False)
+    _, wi, wic = _tables(plan, inverse=True)
+    word = 32 if ops is U32Ops else 64
+    ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
+    f_tmp, f_con = radix2._final_mulop(
+        plan.params.n_inv, ninv_con, int(plan.w_inv[1]), plan.q, word
+    )
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    rep_a = ops.from_host(a.reshape((-1, n1, n2)))
+    rep_b = ops.from_host(b.reshape((-1, n1, n2)))
+    fn = _jit_dist_polymul(
+        plan.q, n, n1_log, ops.nlimb, ndev, axis,
+        plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis,
+    )
+    out = fn(*rep_a, *rep_b, *w, *wc, *wi, *wic)
+    return ops.to_host(out).reshape(a.shape)
+
+
 def batch_parallel_fwd(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
                        axis: str = "x", lazy: bool = False) -> np.ndarray:
     """HE-batch mode: shard the batch dim; each device runs whole fused

@@ -57,6 +57,12 @@ class U32Ops:
         return (mm.reduce32(x[0], q, 4),)
 
     @staticmethod
+    def mul_mod(x, y, q):
+        """Variable x variable (x*y) mod q, strict (for pointwise NTT-domain
+        products)."""
+        return (mm.mul_mod_q32(x[0], y[0], q),)
+
+    @staticmethod
     def table(np_u64_table):
         import jax.numpy as jnp
 
@@ -111,6 +117,10 @@ class U64Ops:
     @staticmethod
     def reduce_4q_to_q(x, q):
         return mm.reduce_4q_to_q(x, q)
+
+    @staticmethod
+    def mul_mod(x, y, q):
+        return mm.mul_mod_q(x, y, q)
 
     @staticmethod
     def table(np_u64_table):

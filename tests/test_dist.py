@@ -105,6 +105,29 @@ def test_dist_2d_mesh_u64(rng):
     np.testing.assert_array_equal(got, api.fwd_ntt(a, p, variant="radix2"))
 
 
+@pytest.mark.parametrize("p", [FIXTURES[2], FIXTURES[13]], ids=fixture_id)
+def test_dist_negacyclic_mul(p, rng):
+    """Fully-sharded polymul pipeline == host negacyclic_mul (which is
+    itself pinned to the schoolbook oracle in test_polymul.py)."""
+    plan = get_plan(p)
+    mesh = dist.default_mesh(8)
+    a = make_input(rng, p.n, p.q, batch=2)
+    b = make_input(rng, p.n, p.q, batch=2)
+    got = dist.dist_negacyclic_mul(a, b, plan, mesh=mesh)
+    want = api.negacyclic_mul(a, b, p)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_dist_negacyclic_mul_2d(rng):
+    p = FIXTURES[6]
+    plan = get_plan(p)
+    mesh = dist.mesh_2d(2, 4)
+    a = make_input(rng, p.n, p.q, batch=4)
+    b = make_input(rng, p.n, p.q, batch=4)
+    got = dist.dist_negacyclic_mul(a, b, plan, mesh=mesh, batch_axis="dp")
+    np.testing.assert_array_equal(got, api.negacyclic_mul(a, b, p))
+
+
 def test_custom_split(rng):
     p = FIXTURES[6]  # N=2^14
     plan = get_plan(p)
