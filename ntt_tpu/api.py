@@ -708,15 +708,74 @@ def pointwise_mul(a, b, params_or_plan):
                           ops.from_host(np.asarray(b, dtype=np.uint64))))
 
 
-def negacyclic_mul(a, b, params_or_plan, variant: str = "auto"):
+@functools.lru_cache(maxsize=None)
+def _jit_polymul(q: int, n_inv_op: int, n_inv_con: int, f_tmp: int,
+                 f_con: int, n1_log, nlimb: int):
+    """Whole negacyclic product in ONE jit: fwd both inputs (six-step,
+    output kept in the transposed layout), pointwise mul_mod, inverse
+    consuming the transposed layout directly -- no intermediate host
+    round-trips and no order-fixing transposes at all."""
+    ops = U32Ops if nlimb == 1 else U64Ops
+
+    def core(*flat):
+        a = flat[:nlimb]
+        b = flat[nlimb : 2 * nlimb]
+        w = flat[2 * nlimb : 3 * nlimb]
+        wc = flat[3 * nlimb : 4 * nlimb]
+        wi = flat[4 * nlimb : 5 * nlimb]
+        wic = flat[5 * nlimb :]
+        fa = sixstep.fwd_sixstep(a, ops, w, wc, q, n1_log, strict=True,
+                                 keep_transposed=True)
+        fb = sixstep.fwd_sixstep(b, ops, w, wc, q, n1_log, strict=True,
+                                 keep_transposed=True)
+        fc = ops.mul_mod(fa, fb, q)
+        return sixstep.inv_sixstep(
+            fc, ops, wi, wic, n_inv_op, n_inv_con, f_tmp, f_con, q, n1_log,
+            input_transposed=True,
+        )
+
+    return jax.jit(core)
+
+
+def negacyclic_mul(a, b, params_or_plan, variant: str = "auto",
+                   fused: bool = True):
     """Polynomial product in R_q[X]/(X^N + 1): NTT -> pointwise -> inverse
     NTT.  This is the workload the reference's kernels exist to serve
-    (README.md:3-4); the strict forward outputs make the pointwise step's
-    [0, q) input contract hold by construction."""
+    (README.md:3-4).
+
+    fused=True (default) runs the whole product in one jitted device
+    program with the NTT-domain intermediates left in the six-step
+    transposed layout (the unordered contract's payoff: no order-fixing
+    transposes, no host round-trips).  fused=False composes the public
+    per-step APIs through the chosen variant instead."""
     plan = _resolve(params_or_plan)
-    fa = fwd_ntt(a, plan, variant)
-    fb = fwd_ntt(b, plan, variant)
-    return inv_ntt(pointwise_mul(fa, fb, plan), plan, variant)
+    if not fused:
+        fa = fwd_ntt(a, plan, variant)
+        fb = fwd_ntt(b, plan, variant)
+        return inv_ntt(pointwise_mul(fa, fb, plan), plan, variant)
+
+    n1_log = sixstep.default_split(plan.n)
+    if plan.supports_u32_radix2:
+        ops = U32Ops
+        w, wc, wi, wic = plan.dev_r2_u32
+        w_rep, wc_rep, wi_rep, wic_rep = (w,), (wc,), (wi,), (wic,)
+        ninv_con, word = plan.n_inv_con32, 32
+    else:
+        ops = U64Ops
+        w_rep, wc_rep, wi_rep, wic_rep = plan.dev_r2_u64
+        ninv_con, word = plan.n_inv_con, 64
+    f_tmp, f_con = radix2._final_mulop(
+        plan.params.n_inv, ninv_con, int(plan.w_inv[1]), plan.q, word
+    )
+    fn = _jit_polymul(
+        plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, n1_log, ops.nlimb
+    )
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    return ops.to_host(
+        fn(*ops.from_host(a), *ops.from_host(b),
+           *w_rep, *wc_rep, *wi_rep, *wic_rep)
+    )
 
 
 def fwd_ntt_dbl(a, b, params_or_plan, variant: str = "auto", lazy: bool = False):

@@ -78,9 +78,10 @@ def _vmem_bytes(tile_b: int, n: int, nlimb: int) -> int:
 def default_tile_b(n: int, nlimb: int, batch: int) -> int:
     """Power-of-two batch tile: at least 8 (Mosaic needs the sublane dim of
     a partial block divisible by 8; _call pads the batch), growing while
-    the working set stays under ~8MB."""
+    the working set stays under ~28MB (v5e has 128MB VMEM; a measured
+    tile sweep put the sweet spot at 64 rows for N=2^14 u32)."""
     tile = 8
-    while tile * 2 <= batch and _vmem_bytes(tile * 2, n, nlimb) < 8 * (1 << 20):
+    while tile * 2 <= batch and _vmem_bytes(tile * 2, n, nlimb) < 28 * (1 << 20):
         tile *= 2
     return tile
 

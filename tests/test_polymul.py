@@ -72,6 +72,22 @@ def test_negacyclic_mul_schoolbook(p, rng):
     np.testing.assert_array_equal(got, _schoolbook_negacyclic(a, b, small.q))
 
 
+@pytest.mark.parametrize("q_bits", [29, 51])
+def test_negacyclic_mul_fused_vs_composed(q_bits, rng):
+    """The fused one-jit product (transposed-layout intermediates) must
+    equal the composed per-step public-API path exactly."""
+    small = NttParams.generate(q_bits, 7)
+    a = make_input(rng, small.n, small.q, batch=2)
+    b = make_input(rng, small.n, small.q, batch=2)
+    fused = api.negacyclic_mul(a, b, small, fused=True)
+    composed = api.negacyclic_mul(a, b, small, fused=False)
+    np.testing.assert_array_equal(fused, composed)
+    for i in range(2):
+        np.testing.assert_array_equal(
+            fused[i], _schoolbook_negacyclic(a[i], b[i], small.q)
+        )
+
+
 def test_negacyclic_mul_batched(rng):
     small = NttParams.generate(29, 6)
     a = make_input(rng, small.n, small.q, batch=3)
