@@ -649,6 +649,71 @@ register(
 
 
 # ---------------------------------------------------------------------------
+# device-resident serving API
+# ---------------------------------------------------------------------------
+
+
+class DeviceNtt:
+    """Device-resident transform handle for serving pipelines.
+
+    The top-level fwd_ntt/inv_ntt functions move data host<->device on
+    every call -- fine for tests, wrong for production chains.  A
+    DeviceNtt pins the plan's tables on device once and exposes jitted
+    ops over device *reps* (tuples of uint32 jax arrays: 1 limb for
+    q < 2^30, else a (lo, hi) pair), so NTT -> pointwise -> inverse
+    chains never leave the chip.  Reps compose with jit/vmap/shard_map.
+
+    >>> ctx = DeviceNtt(params)
+    >>> fa, fb = ctx.fwd(ctx.from_host(a)), ctx.fwd(ctx.from_host(b))
+    >>> c = ctx.to_host(ctx.inv(ctx.pointwise(fa, fb)))
+    """
+
+    def __init__(self, params_or_plan, lazy: bool = False):
+        self.plan = _resolve(params_or_plan)
+        plan = self.plan
+        self.ops = U32Ops if plan.supports_u32_radix2 else U64Ops
+        self._n1_log = sixstep.default_split(plan.n)
+        word = 32 if self.ops is U32Ops else 64
+        ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
+        f_tmp, f_con = radix2._final_mulop(
+            plan.params.n_inv, ninv_con, int(plan.w_inv[1]), plan.q, word
+        )
+        if self.ops is U32Ops:
+            w, wc, wi, wic = plan.dev_r2_u32
+            self._w, self._wc = (w,), (wc,)
+            self._wi, self._wic = (wi,), (wic,)
+        else:
+            self._w, self._wc, self._wi, self._wic = plan.dev_r2_u64
+        self._fwd = _jit_fwd_sixstep(plan.q, lazy, self._n1_log, self.ops.nlimb)
+        self._inv = _jit_inv_sixstep(
+            plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, self._n1_log,
+            self.ops.nlimb,
+        )
+        self._pointwise = _jit_pointwise(plan.q, self.ops.nlimb)
+
+    # rep <-> host
+    def from_host(self, a) -> tuple:
+        return self.ops.from_host(np.asarray(a, dtype=np.uint64))
+
+    def to_host(self, rep) -> np.ndarray:
+        return self.ops.to_host(rep)
+
+    # device ops (rep -> rep, all jitted+cached)
+    def fwd(self, rep) -> tuple:
+        return self._fwd(*rep, *self._w, *self._wc)
+
+    def inv(self, rep) -> tuple:
+        return self._inv(*rep, *self._wi, *self._wic)
+
+    def pointwise(self, rep_a, rep_b) -> tuple:
+        return self._pointwise(rep_a, rep_b)
+
+    def negacyclic(self, rep_a, rep_b) -> tuple:
+        """Full product, one chained device program (no host hops)."""
+        return self.inv(self.pointwise(self.fwd(rep_a), self.fwd(rep_b)))
+
+
+# ---------------------------------------------------------------------------
 # top-level dispatch
 # ---------------------------------------------------------------------------
 

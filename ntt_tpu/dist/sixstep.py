@@ -36,6 +36,19 @@ from ntt_tpu.kernels.elems import U32Ops, U64Ops, tmap
 from ntt_tpu.plan import NttPlan
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> None:
+    """Initialize the JAX distributed runtime for a multi-host slice
+    (call once per process before any mesh construction; on Cloud TPU
+    pods the arguments auto-detect).  After this, jax.devices() spans the
+    whole slice and every dist_* function here works unchanged -- lay the
+    transform-sharding axis along ICI (devices within a host / torus
+    ring) and keep the batch axis for DCN-crossing edges, since the
+    six-step all_to_all is the only latency-critical collective."""
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+
+
 def default_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:

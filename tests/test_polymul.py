@@ -88,6 +88,23 @@ def test_negacyclic_mul_fused_vs_composed(q_bits, rng):
         )
 
 
+@pytest.mark.parametrize("q_bits", [29, 51])
+def test_device_ntt_serving_api(q_bits, rng):
+    """DeviceNtt: whole chain on device reps, exact vs the host API."""
+    small = NttParams.generate(q_bits, 7)
+    ctx = api.DeviceNtt(small)
+    a = make_input(rng, small.n, small.q, batch=2)
+    b = make_input(rng, small.n, small.q, batch=2)
+    ra, rb = ctx.from_host(a), ctx.from_host(b)
+    fa = ctx.fwd(ra)
+    np.testing.assert_array_equal(
+        ctx.to_host(fa), api.fwd_ntt(a, small, variant="sixstep")
+    )
+    np.testing.assert_array_equal(ctx.to_host(ctx.inv(fa)), a)
+    got = ctx.to_host(ctx.negacyclic(ra, rb))
+    np.testing.assert_array_equal(got, api.negacyclic_mul(a, b, small))
+
+
 def test_negacyclic_mul_batched(rng):
     small = NttParams.generate(29, 6)
     a = make_input(rng, small.n, small.q, batch=3)
