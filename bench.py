@@ -249,7 +249,7 @@ def main() -> None:
 
     p, tps, ns_bf = headline(args.batch, args.reps, args.inner, args.m, args.q_bits)
     base = host_baseline_tps(p, quick=args.platform == "cpu")
-    vs = tps / base if base else 1.0
+    vs = round(tps / base, 3) if base else None  # None = no baseline available
 
     import jax
 
@@ -268,7 +268,7 @@ def main() -> None:
                 "metric": f"fwd_ntt_transforms_per_sec_N2^{p.m}_q{p.q.bit_length()}bit",
                 "value": round(tps, 1),
                 "unit": "transforms/s",
-                "vs_baseline": round(vs, 3),
+                "vs_baseline": vs,
             }
         )
     )

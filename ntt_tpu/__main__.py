@@ -73,7 +73,8 @@ def cmd_correctness(args) -> int:
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
-    sys.argv = ["bench.py"] + args.rest
+    rest = args.rest[1:] if args.rest[:1] == ["--"] else args.rest
+    sys.argv = ["bench.py"] + rest
     bench_mod.main()
     return 0
 

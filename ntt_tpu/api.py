@@ -811,9 +811,12 @@ def negacyclic_mul(a, b, params_or_plan, variant: str = "auto",
     fused=True (default) runs the whole product in one jitted device
     program with the NTT-domain intermediates left in the six-step
     transposed layout (the unordered contract's payoff: no order-fixing
-    transposes, no host round-trips).  fused=False composes the public
-    per-step APIs through the chosen variant instead."""
+    transposes, no host round-trips); the fused pipeline is always the
+    six-step kernel, so requesting any other variant composes the public
+    per-step APIs through that variant instead."""
     plan = _resolve(params_or_plan)
+    if variant not in ("auto", "sixstep"):
+        fused = False
     if not fused:
         fa = fwd_ntt(a, plan, variant)
         fb = fwd_ntt(b, plan, variant)

@@ -120,6 +120,9 @@ def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
     ops = U32Ops if nlimb == 1 else U64Ops
     logn = n.bit_length() - 1
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+    assert n1 % ndev == 0 and n2 % ndev == 0, (
+        f"N1={n1}, N2={n2} must both divide by mesh size {ndev}"
+    )
 
     def local_fn(*flat):
         a = flat[:nlimb]  # local (..., N1/D, N2), natural layout sharded on N1
@@ -169,14 +172,12 @@ def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
 
     ops, w, wc = _tables(plan, inverse=False)
     a = np.asarray(a, dtype=np.uint64)
-    squeeze = a.ndim == 1
     a3 = a.reshape((-1, n1, n2))
     rep = ops.from_host(a3)
     fn = _jit_dist_fwd(plan.q, n, n1_log, ops.nlimb, ndev, axis, not lazy,
                        mesh, batch_axis)
     out = fn(*rep, *w, *wc)
-    res = ops.to_host(out).reshape(a.shape)
-    return res[0] if squeeze and res.ndim > a.ndim else res
+    return ops.to_host(out).reshape(a.shape)
 
 
 def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
@@ -216,6 +217,9 @@ def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
     ops = U32Ops if nlimb == 1 else U64Ops
     logn = n.bit_length() - 1
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+    assert n1 % ndev == 0 and n2 % ndev == 0, (
+        f"N1={n1}, N2={n2} must both divide by mesh size {ndev}"
+    )
 
     def fwd_local(a, w, wc):
         """Forward phases, output LEFT in the transposed (..., N2, N1/D)

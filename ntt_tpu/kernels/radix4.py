@@ -195,7 +195,7 @@ def inv_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair,
 
 
 # ---------------------------------------------------------------------------
-# u32 path (q < 2^29, word_size=32)
+# u32 path (q < 2^28: dual-Shoup needs t1+t2 < 16q <= 2^32; word_size=32)
 # ---------------------------------------------------------------------------
 
 

@@ -236,7 +236,7 @@ def shoup_dbl_mul_q2(w1, w1c, w2, w2c, t1, t2, q: int) -> U64Pair:
 # ---------------------------------------------------------------------------
 # Single-lane uint32 fast path: q < 2^30, word_size=32 Shoup constants.
 # Valid because Shoup's bound needs t <= 2^32 and our lazy inputs stay
-# < 4q < 2^32 (< 8q for radix-4 needs q < 2^29).
+# < 4q < 2^32 (radix-4's dual-Shoup needs t1+t2 < 16q <= 2^32, i.e. q < 2^28).
 # ---------------------------------------------------------------------------
 
 U32_PATH_MAX_Q_BITS_R2 = 30  # Shoup needs t < 4q <= 2^32
@@ -297,12 +297,15 @@ def mul_mod_q32(a, b, q: int):
 
 
 def mul_mod_q(a: U64Pair, b: U64Pair, q: int) -> U64Pair:
-    """(a * b) mod q for u64 limb pairs a, b < q < 2^62, strict output.
+    """(a * b) mod q for u64 limb pairs a, b < q, any q in [2, 2^62),
+    strict output.
 
     The 128-bit product p3:p2:p1:p0 is folded as
     p3*(2^96 mod q) + p2*(2^64 mod q) + p1*(2^32 mod q) + p0 using
     Shoup-by-constant multiplies (each < 2q) with interleaved lazy
-    reductions; every intermediate stays < 2q + 2^32 < 2^64."""
+    reductions.  The low limb p0 < 2^32 is reduced below q FIRST (it may
+    be many multiples of q when q is small), so the accumulator is
+    always < 3q < 2^64 and two conditional subtracts finish the job."""
     p0, p1, p2, p3 = mul64_full(a, b)
     folds = []
     for k, limb in ((3, p3), (2, p2), (1, p1)):
@@ -313,6 +316,12 @@ def mul_mod_q(a: U64Pair, b: U64Pair, q: int) -> U64Pair:
         )
     acc = reduce_4q_to_2q(add64(folds[0], folds[1]), q)  # < 2q
     acc = reduce_4q_to_2q(add64(acc, folds[2]), q)  # < 2q
-    acc = add64(acc, (p0, jnp.zeros_like(p0)))  # < 2q + 2^32 < 2^64
-    acc = cond_sub64(acc, const_u64(4 * q))
-    return reduce_4q_to_q(acc, q)
+    if q < (1 << 31):
+        p0r = barrett_reduce32(p0, q)  # < q
+    elif q < (1 << 32):
+        p0r = cond_sub32(p0, q)  # p0 < 2^32 < 2q -> < q
+    else:
+        p0r = p0  # p0 < 2^32 <= q already
+    acc = add64(acc, (p0r, jnp.zeros_like(p0r)))  # < 3q < 2^64
+    acc = cond_sub64(acc, const_u64(2 * q))
+    return reduce_2q_to_q(acc, q)

@@ -160,9 +160,9 @@ class NttPlan:
         assert self.supports_u32_radix4
         return (
             jnp.asarray(self.w_r4.astype(np.uint32)),
-            jnp.asarray(self.con32(self.w_r4).astype(np.uint32)),
+            jnp.asarray(self.w_r4_con32.astype(np.uint32)),
             jnp.asarray(self.w_inv_r4.astype(np.uint32)),
-            jnp.asarray(self.con32(self.w_inv_r4).astype(np.uint32)),
+            jnp.asarray(self.w_inv_r4_con32.astype(np.uint32)),
         )
 
 

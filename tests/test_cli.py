@@ -14,6 +14,27 @@ def test_list_runs(capsys):
         assert name in out
 
 
+def test_bench_strips_leading_dashes(monkeypatch, capsys):
+    """`python -m ntt_tpu bench -- --suite`-style argv must not leak the
+    leading '--' into bench.py's parser (regression)."""
+    import argparse
+
+    import ntt_tpu.__main__ as cli_mod
+
+    seen = {}
+
+    class FakeBench:
+        @staticmethod
+        def main():
+            import sys
+
+            seen["argv"] = list(sys.argv)
+
+    monkeypatch.setitem(__import__("sys").modules, "bench", FakeBench)
+    cli_mod.cmd_bench(argparse.Namespace(rest=["--", "--batch", "8"]))
+    assert seen["argv"] == ["bench.py", "--batch", "8"]
+
+
 def test_correctness_subset(capsys, monkeypatch):
     """One small fixture through the real correctness driver."""
     from ntt_tpu import params as params_mod

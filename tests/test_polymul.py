@@ -33,8 +33,11 @@ def test_mul_mod_q32_property(q_bits, rng):
     np.testing.assert_array_equal(got, want.astype(np.uint64))
 
 
-@pytest.mark.parametrize("q_bits", [31, 33, 51, 62])
+@pytest.mark.parametrize("q_bits", [13, 30, 31, 32, 33, 51, 62])
 def test_mul_mod_q_u64_property(q_bits, rng):
+    """Includes small q (13/30-bit): the u64 path must reduce the low
+    product limb below q before accumulating (regression: the original
+    ladder silently failed for q < 2^30)."""
     q = int(NttParams.generate(q_bits, 8).q)
     vals = rng.integers(0, q, size=(2, 4096), dtype=np.uint64)
     edge = np.array([0, 1, q - 1, q // 2, 1 << 32, (1 << 32) - 1], dtype=np.uint64)
@@ -103,6 +106,17 @@ def test_device_ntt_serving_api(q_bits, rng):
     np.testing.assert_array_equal(ctx.to_host(ctx.inv(fa)), a)
     got = ctx.to_host(ctx.negacyclic(ra, rb))
     np.testing.assert_array_equal(got, api.negacyclic_mul(a, b, small))
+
+
+def test_negacyclic_mul_honors_variant(rng):
+    """An explicit non-sixstep variant must route through the composed
+    per-step path (regression: fused path used to ignore `variant`)."""
+    small = NttParams.generate(27, 6)
+    a = make_input(rng, small.n, small.q)
+    b = make_input(rng, small.n, small.q)
+    want = api.negacyclic_mul(a, b, small)
+    got = api.negacyclic_mul(a, b, small, variant="mxu")
+    np.testing.assert_array_equal(got, want)
 
 
 def test_negacyclic_mul_batched(rng):

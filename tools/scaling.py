@@ -106,8 +106,7 @@ def main() -> None:
         tps = 2 * args.batch / sec  # fwd + inv = 2 transforms
         eff = ""
         if base_tps is None:
-            base_tps = tps * sizes[0] / ndev  # normalize to per-base-size
-            base_ndev = ndev
+            base_tps, base_ndev = tps, ndev  # first MEASURED size is the base
         else:
             ideal = base_tps * ndev / base_ndev
             eff = f", scaling efficiency {100 * tps / ideal:.0f}%"
