@@ -51,15 +51,19 @@ def is_probable_prime(n: int) -> bool:
     return True
 
 
-def find_ntt_prime(bits: int, m: int) -> int:
-    """Largest prime q < 2^bits with 2^(m+1) | q - 1 (so a 2N-th root exists)."""
+def find_ntt_prime(bits: int, m: int, skip: int = 0) -> int:
+    """Largest prime q < 2^bits with 2^(m+1) | q - 1 (so a 2N-th root
+    exists); with skip > 0, the (skip+1)-th largest such prime -- used by
+    the RNS layer to build towers of distinct moduli deterministically."""
     two_n = 1 << (m + 1)
     # q = k * 2N + 1
     k = ((1 << bits) - 1) // two_n
     while k > 0:
         q = k * two_n + 1
         if q < (1 << bits) and is_probable_prime(q):
-            return q
+            if skip == 0:
+                return q
+            skip -= 1
         k -= 1
     raise ValueError(f"no NTT prime with bits={bits}, m={m}")
 
@@ -127,9 +131,10 @@ class NttParams:
         return cls(m=m, q=q, w=w, w_inv=pow(w, -1, q), n_inv=pow(1 << m, -1, q))
 
     @classmethod
-    def generate(cls, q_bits: int, m: int) -> "NttParams":
-        """Deterministically generate an instance with a q_bits-bit modulus."""
-        return cls.make(find_ntt_prime(q_bits, m), m)
+    def generate(cls, q_bits: int, m: int, skip: int = 0) -> "NttParams":
+        """Deterministically generate an instance with a q_bits-bit modulus
+        (skip > 0 selects successive distinct primes, see find_ntt_prime)."""
+        return cls.make(find_ntt_prime(q_bits, m, skip), m)
 
 
 def _fx(m: int, q: int, w: int, w_inv: int, n_inv: int) -> NttParams:

@@ -1,0 +1,57 @@
+"""RNS tower layer: CRT encode/decode exactness and the end-to-end
+big-int polynomial product (the HE ciphertext-multiply shape)."""
+
+import numpy as np
+import pytest
+
+from ntt_tpu.rns import RnsTower
+
+from conftest import make_input
+
+
+@pytest.fixture(scope="module")
+def tower():
+    return RnsTower(m=6, q_bits=(29, 29, 30))
+
+
+def test_distinct_moduli(tower):
+    assert len(set(tower.moduli)) == 3
+    for p in tower.params:
+        assert (p.q - 1) % (1 << (p.m + 1)) == 0  # 2N-th roots exist
+
+
+def test_crt_roundtrip(tower, rng):
+    big_q = tower.modulus_product
+    coeffs = np.array(
+        [int(x) % big_q for x in rng.integers(0, 1 << 63, tower.n, dtype=np.uint64)],
+        dtype=object,
+    )
+    ch = tower.encode(coeffs)
+    back = tower.decode(ch)
+    assert (back == coeffs).all()
+
+
+def test_channel_fwd_inv(tower, rng):
+    a = np.stack([make_input(rng, tower.n, p.q) for p in tower.params])
+    f = tower.fwd(a)
+    back = tower.inv(f)
+    np.testing.assert_array_equal(back, a)
+
+
+def test_bigint_negacyclic_mul(tower, rng):
+    """Big-int product in R_Q[X]/(X^N+1), Q = prod(moduli) (~88 bits):
+    exact against a schoolbook big-int oracle."""
+    n = tower.n
+    big_q = tower.modulus_product
+    a = np.array([int(x) for x in rng.integers(0, 1 << 40, n, dtype=np.uint64)],
+                 dtype=object)
+    b = np.array([int(x) for x in rng.integers(0, 1 << 40, n, dtype=np.uint64)],
+                 dtype=object)
+    got = tower.negacyclic_mul_bigint(a, b)
+    acc = np.zeros(n, dtype=object)
+    for i in range(n):
+        for j in range(n):
+            k = (i + j) % n
+            s = 1 if i + j < n else -1
+            acc[k] = (acc[k] + s * int(a[i]) * int(b[j])) % big_q
+    assert (got == acc).all()
