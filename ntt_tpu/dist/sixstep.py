@@ -77,12 +77,15 @@ def _tables(plan: NttPlan, inverse: bool):
 @functools.lru_cache(maxsize=None)
 def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
                   axis: str, strict: bool, mesh: Mesh,
-                  batch_axis: str | None = None):
+                  batch_axis: str | None = None, n_chunks: int = 1):
     ops = U32Ops if nlimb == 1 else U64Ops
     logn = n.bit_length() - 1
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
     assert n1 % ndev == 0 and n2 % ndev == 0, (
         f"N1={n1}, N2={n2} must both divide by mesh size {ndev}"
+    )
+    assert n1 % (ndev * n_chunks) == 0, (
+        f"N1={n1} must divide by mesh*chunks = {ndev * n_chunks}"
     )
 
     def local_fn(*flat):
@@ -90,17 +93,46 @@ def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         w = flat[nlimb : 2 * nlimb]
         wc = flat[2 * nlimb :]
         a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev)
-        # the only collective: transpose the shard axis over ICI
-        a = tmap(
-            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
-                                     concat_axis=l.ndim - 1, tiled=True),
-            a,
-        )
-        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N2, N1/D)
-        col0 = lax.axis_index(axis) * (n1 // ndev)
-        a = sixstep.fwd_phase2(a, ops, w, wc, q, n1, n2, col0, n1 // ndev)
-        if strict:
-            a = ops.reduce_4q_to_q(a, q)
+
+        def transpose_and_rows(chunk, col0, ncols):
+            """all_to_all one row-chunk over ICI, then its row stages --
+            phase 2 is independent per column, so chunking is exact and
+            lets XLA's latency-hiding scheduler overlap chunk c+1's
+            collective with chunk c's compute (comm/compute overlap
+            without a hand-rolled Pallas ring)."""
+            chunk = tmap(
+                lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
+                                         concat_axis=l.ndim - 1, tiled=True),
+                chunk,
+            )
+            chunk = tmap(lambda l: jnp.swapaxes(l, -1, -2), chunk)
+            out = sixstep.fwd_phase2(chunk, ops, w, wc, q, n1, n2, col0, ncols)
+            if strict:
+                out = ops.reduce_4q_to_q(out, q)
+            return out
+
+        my_col0 = lax.axis_index(axis) * (n1 // ndev)
+        if n_chunks == 1:
+            a = transpose_and_rows(a, my_col0, n1 // ndev)
+        else:
+            # Device d's output columns come from row-block d WITHIN each
+            # source shard, so a chunk slices inside each of the D local
+            # row-blocks (view rows as (D, N1/D) and cut the inner axis);
+            # chunk c then lands on contiguous global columns
+            # my_col0 + [c*cpc, (c+1)*cpc).
+            cpc = n1 // (ndev * n_chunks)  # columns per chunk
+            outs = []
+            for c in range(n_chunks):
+                def cut(l, c=c):
+                    lead = l.shape[:-2]
+                    v = l.reshape(lead + (ndev, n1 // ndev, l.shape[-1]))
+                    v = v[..., :, c * cpc : (c + 1) * cpc, :]
+                    return v.reshape(lead + (ndev * cpc, l.shape[-1]))
+
+                outs.append(
+                    transpose_and_rows(tmap(cut, a), my_col0 + c * cpc, cpc)
+                )
+            a = tmap(lambda *ls: jnp.concatenate(ls, axis=-1), *outs)
         return tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
 
     a_spec = P(batch_axis, None, axis)  # (batch[, dp-sharded], N1, N2-sharded)
@@ -155,11 +187,14 @@ def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
 
 def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
                  n1_log: int | None = None, lazy: bool = False,
-                 axis: str = "x", batch_axis: str | None = None) -> np.ndarray:
+                 axis: str = "x", batch_axis: str | None = None,
+                 n_chunks: int = 1) -> np.ndarray:
     """Forward NTT of (..., N) uint64 with the transform sharded over mesh
     axis `axis`; with `batch_axis` set (2-D mesh from mesh_2d), the batch
     dim is simultaneously data-parallel over that axis.  Output order
-    identical to the golden radix-2 kernel."""
+    identical to the golden radix-2 kernel.  n_chunks > 1 splits the
+    all_to_all into column chunks so the collective of chunk c+1 can
+    overlap the row stages of chunk c (comm/compute overlap; exact)."""
     if mesh is None:
         mesh = default_mesh(axis=axis)
     ndev = mesh.shape[axis]
@@ -175,7 +210,7 @@ def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     a3 = a.reshape((-1, n1, n2))
     rep = ops.from_host(a3)
     fn = _jit_dist_fwd(plan.q, n, n1_log, ops.nlimb, ndev, axis, not lazy,
-                       mesh, batch_axis)
+                       mesh, batch_axis, n_chunks)
     out = fn(*rep, *w, *wc)
     return ops.to_host(out).reshape(a.shape)
 

@@ -105,6 +105,19 @@ def test_dist_2d_mesh_u64(rng):
     np.testing.assert_array_equal(got, api.fwd_ntt(a, p, variant="radix2"))
 
 
+@pytest.mark.parametrize("n_chunks", [2, 4])
+def test_dist_fwd_chunked_overlap(n_chunks, rng):
+    """Column-chunked all_to_all (comm/compute overlap) is bit-exact with
+    the monolithic collective."""
+    p = FIXTURES[6]
+    plan = get_plan(p)
+    mesh = dist.default_mesh(8)
+    a = make_input(rng, p.n, p.q, batch=2)
+    got = dist.dist_fwd_ntt(a, plan, mesh=mesh, n_chunks=n_chunks)
+    want = api.fwd_ntt(a, p, variant="radix2")
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("p", [FIXTURES[2], FIXTURES[13]], ids=fixture_id)
 def test_dist_negacyclic_mul(p, rng):
     """Fully-sharded polymul pipeline == host negacyclic_mul (which is
