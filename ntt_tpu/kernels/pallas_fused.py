@@ -70,9 +70,16 @@ def row_stack(w_u64: np.ndarray, n1: int, n2: int) -> np.ndarray:
 
 
 def _vmem_bytes(tile_b: int, n: int, nlimb: int) -> int:
-    # tile data (in + out + ~4 live temporaries) + stacked twiddle tables
+    # Empirically calibrated against Mosaic's scoped-stack allocation on
+    # v5e (the unrolled stage chain's temporaries are NOT reused): the
+    # compiler reports ~14 live u32 words per element for the single-limb
+    # chain and ~114 for the limb-pair chain (mul64_full intermediates).
+    # Observed: u32 tile 64 @ N=2^14 -> ~59MB compiles; u64 tile 16 ->
+    # 119.04MB exceeds the 100MB scoped-vmem limit.
     logn = n.bit_length() - 1
-    return 4 * nlimb * (6 * tile_b * n + 2 * logn * (n // 2)) + (1 << 20)
+    words_per_elem = 14 if nlimb == 1 else 114
+    tables = 4 * nlimb * 2 * logn * (n // 2)
+    return 4 * words_per_elem * tile_b * n + tables + (1 << 20)
 
 
 def default_tile_b(n: int, nlimb: int, batch: int) -> int:
@@ -81,7 +88,7 @@ def default_tile_b(n: int, nlimb: int, batch: int) -> int:
     the working set stays under ~28MB (v5e has 128MB VMEM; a measured
     tile sweep put the sweet spot at 64 rows for N=2^14 u32)."""
     tile = 8
-    while tile * 2 <= batch and _vmem_bytes(tile * 2, n, nlimb) < 28 * (1 << 20):
+    while tile * 2 <= batch and _vmem_bytes(tile * 2, n, nlimb) < 80 * (1 << 20):
         tile *= 2
     return tile
 
@@ -185,6 +192,12 @@ def _call(kernel_fn, a_rep, tables, n: int, tile_b: int, interpret: bool):
     """Grid over batch tiles; twiddle stacks broadcast to every grid step
     (same block each step -> fetched once, VMEM-resident)."""
     nlimb = len(a_rep)
+    if not interpret and _vmem_bytes(tile_b, n, nlimb) > 80 * (1 << 20):
+        raise ValueError(
+            f"pallas-fused working set for N={n} ({nlimb} limb(s), "
+            f"tile_b={tile_b}) exceeds VMEM; use the 'sixstep'/'radix2' "
+            "variants for this size"
+        )
     lead = a_rep[0].shape[:-1]
     batch = int(np.prod(lead)) if lead else 1
     a2 = tuple(l.reshape(batch, n) for l in a_rep)
