@@ -158,6 +158,23 @@ def _suite_bodies(plan, q_bits: int):
         bodies["radix4-u64"] = (
             lambda x: radix4.fwd_u64(x, (w4u[0], w4u[1]), (w4cu[0], w4cu[1]), q)
         ), "u64"
+
+    # inverse kernels (the reference benches these too, tests/bench.c:205-238);
+    # strict inverse output is a valid next input, so they chain
+    ninv = p.n_inv
+    if plan.supports_u32_radix2:
+        _, _, wi, wic = plan.dev_r2_u32
+        w1s = int(plan.w_inv[1])
+        nc32 = plan.n_inv_con32
+        bodies["inv-radix2-u32"] = (
+            lambda x: radix2.inv_u32(x, wi, wic, ninv, nc32, w1s, q)
+        ), "u32"
+    _, _, (il, ih), (icl, ich) = plan.dev_r2_u64
+    w1s64 = int(plan.w_inv[1])
+    nc64 = plan.n_inv_con
+    bodies["inv-radix2-u64"] = (
+        lambda x: radix2.inv_u64(x, (il, ih), (icl, ich), ninv, nc64, w1s64, q)
+    ), "u64"
     return bodies
 
 

@@ -175,6 +175,22 @@ def test_radix4_family_61bit_bound(rng):
             api.fwd_ntt(a62, p62, variant=v)
 
 
+def test_pallas_vmem_guard():
+    """Configurations whose working set cannot fit VMEM raise a clear
+    error (not a Mosaic crash) when compiled for real; interpret mode
+    (used on CPU) is unaffected."""
+    from ntt_tpu.kernels import pallas_fused as pf
+    from ntt_tpu.kernels.elems import U64Ops
+
+    p = [x for x in FIXTURES_ALL if x.m == 17][0]  # N=2^17, 51-bit q
+    plan = get_plan(p)
+    n1_log = pf.pick_split(p.n)
+    tabs = plan.pallas_tables(False, n1_log, 2)
+    a_rep = U64Ops.from_host(np.zeros((8, p.n), dtype=np.uint64))
+    with pytest.raises(ValueError, match="exceeds VMEM"):
+        pf.fwd_fused(a_rep, U64Ops, tabs, p.q, n1_log, interpret=False)
+
+
 def test_layouts_module():
     from ntt_tpu.kernels import layouts
 
