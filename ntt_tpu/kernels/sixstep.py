@@ -35,9 +35,17 @@ from ntt_tpu.kernels.elems import tmap
 
 
 def default_split(n: int, min_lanes: int = 128) -> int:
-    """Pick n1 (log2 N1): balanced split, biased so N2 >= min_lanes."""
+    """Pick n1 (log2 N1): balanced split, biased so N2 >= min_lanes.
+
+    For very large N the balanced split collapses on v5e (measured at
+    N=2^24: n1=n2=4096 runs 37.8 ms/t vs 10.75 ms/t with n1=256 -- the
+    per-stage row-twiddle reshapes and 64MB transposes hit an XLA
+    pathology), so n1 is capped at 2^8 from N=2^23 up; N<=2^22 measures
+    flat-to-better with the balanced choice."""
     logn = n.bit_length() - 1
     n1 = logn // 2
+    if logn >= 23:
+        n1 = min(n1, 8)
     while n1 > 1 and (1 << (logn - n1)) < min_lanes:
         n1 -= 1
     return max(1, min(n1, logn - 1))
