@@ -35,17 +35,22 @@ from ntt_tpu.kernels.elems import tmap
 
 
 def default_split(n: int, min_lanes: int = 128) -> int:
-    """Pick n1 (log2 N1): balanced split, biased so N2 >= min_lanes.
+    """Pick n1 (log2 N1), from v5e measurements (see README performance):
 
-    For very large N the balanced split collapses on v5e (measured at
-    N=2^24: n1=n2=4096 runs 37.8 ms/t vs 10.75 ms/t with n1=256 -- the
-    per-stage row-twiddle reshapes and 64MB transposes hit an XLA
-    pathology), so n1 is capped at 2^8 from N=2^23 up; N<=2^22 measures
-    flat-to-better with the balanced choice."""
+    * N in [2^12, 2^17]: N2 = 64 is consistently fastest (2^12: 0.21 vs
+      0.23 us/t; 2^14: 1.09 vs 1.17; 2^16: 4.77 vs 5.49) -- the batch dim
+      provides the vectorization width, so small N2 just means cheaper
+      per-stage interleaves and wide phase-2 rows.
+    * N >= 2^23: the balanced split collapses (N=2^24: 37.8 ms/t balanced
+      vs 10.75 with n1=256 -- 64MB transposes / per-stage row-twiddle
+      reshapes hit an XLA pathology); cap n1 at 2^8.
+    * otherwise: balanced, biased so N2 >= min_lanes."""
     logn = n.bit_length() - 1
-    n1 = logn // 2
     if logn >= 23:
-        n1 = min(n1, 8)
+        return min(logn // 2, 8)
+    if 12 <= logn <= 17:
+        return logn - 6  # N2 = 64
+    n1 = logn // 2
     while n1 > 1 and (1 << (logn - n1)) < min_lanes:
         n1 -= 1
     return max(1, min(n1, logn - 1))
