@@ -77,12 +77,12 @@ def headline(batch: int, reps: int, inner: int, m: int = 14, q_bits: int = 62):
     plan = get_plan(p)
     rng = np.random.default_rng(0)
     a = rng.integers(0, p.q, size=(batch, p.n), dtype=np.uint64)
-    from ntt_tpu.kernels import radix2, sixstep as ss
+    from ntt_tpu.kernels import sixstep as ss
     from ntt_tpu.kernels.elems import U32Ops, U64Ops
 
-    # fastest measured path per modulus width (calibrated sweep, v5e):
-    # u32 single-lane six-step for q < 2^30, flat radix-2 u64 limb pairs
-    # above (XLA fuses the per-stage code better than the manual variants).
+    # fastest measured path (calibrated sweeps, v5e): the six-step kernel
+    # with the measured N2=64 split wins at both widths (q62 N=2^14:
+    # 7.82 us/t vs 8.67 for flat radix-2); strict output chains as input.
     if plan.supports_u32_radix2:
         w, wc, _, _ = plan.dev_r2_u32
         a_rep = U32Ops.from_host(a)
@@ -94,8 +94,7 @@ def headline(batch: int, reps: int, inner: int, m: int = 14, q_bits: int = 62):
         a_rep = mm.from_u64(a)
 
         def body(x_rep):
-            # strict output is a valid next input
-            return radix2.fwd_u64(x_rep, w, wc, p.q)
+            return ss.fwd_sixstep(x_rep, U64Ops, w, wc, p.q, strict=True)
 
     sec = _measure_loop(body, a_rep, reps=reps, k1=2, k2=2 + inner)
     tps = batch / sec

@@ -727,14 +727,14 @@ def _resolve(params_or_plan) -> NttPlan:
 
 
 def _auto_variant(plan: NttPlan, radix: int = 2) -> str:
-    """Measured-fastest path per modulus width (calibrated v5e sweep, see
-    README 'Performance'): six-step on u32 lanes below 2^30, flat radix-2
-    u64 limb pairs above."""
+    """Measured-fastest path (calibrated v5e sweeps, see README
+    'Performance'): the six-step kernel with the measured N2=64 split wins
+    at both modulus widths (q62 N=2^14: 7.82 us/t vs 8.67 flat radix-2)."""
     if radix == 4 and plan.supports_u32_radix4:
         return "radix4-u32"
-    if radix == 2 and plan.supports_u32_radix2:
-        return "sixstep"
-    return "radix4" if radix == 4 else "radix2"
+    if radix == 4:
+        return "radix4"
+    return "sixstep"
 
 
 def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
