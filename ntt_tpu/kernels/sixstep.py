@@ -40,7 +40,10 @@ def default_split(n: int, min_lanes: int = 128) -> int:
     * N in [2^12, 2^17]: N2 = 64 is consistently fastest (2^12: 0.21 vs
       0.23 us/t; 2^14: 1.09 vs 1.17; 2^16: 4.77 vs 5.49) -- the batch dim
       provides the vectorization width, so small N2 just means cheaper
-      per-stage interleaves and wide phase-2 rows.
+      per-stage interleaves and wide phase-2 rows.  The band boundary is
+      real: at 2^18 balanced wins 25.0 vs 132.6 us/t and at 2^22 it wins
+      159.8 vs 3079.8 -- N2=64 collapses once N1 rows no longer fit the
+      compiler's working set.
     * N >= 2^23: the balanced split collapses (N=2^24: 37.8 ms/t balanced
       vs 10.75 with n1=256 -- 64MB transposes / per-stage row-twiddle
       reshapes hit an XLA pathology); cap n1 at 2^8.
