@@ -239,10 +239,14 @@ def main() -> None:
                     help="write a jax.profiler trace of one headline batch here")
     args = ap.parse_args()
 
-    if args.platform:
-        import jax
+    import jax
 
+    if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: TPU compiles over the tunnel take 30-90s;
+    # cache them across bench invocations
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.suite:
         suite(args)
