@@ -118,9 +118,11 @@ def host_baseline_tps(p, quick: bool) -> float | None:
         return None
 
 
-def _suite_bodies(plan, q_bits: int):
+def _suite_bodies(plan):
     """Device-resident forward bodies per variant family (strict out ->
     valid next input, so each body chains under fori_loop)."""
+    import jax
+
     from ntt_tpu.kernels import mxu, pallas_fused as pf, radix2, radix4, sixstep as ss
     from ntt_tpu.kernels.elems import U32Ops, U64Ops
 
@@ -128,6 +130,7 @@ def _suite_bodies(plan, q_bits: int):
     q = plan.q
     bodies = {}
     n1_log = pf.pick_split(plan.n)
+    interp = jax.default_backend() != "tpu"  # Mosaic kernels need interpret off-TPU
     if plan.supports_u32_radix2:
         w, wc, _, _ = plan.dev_r2_u32
         bodies["radix2-u32"] = (lambda x: radix2.fwd_u32(x, w, wc, q)), "u32"
@@ -136,7 +139,9 @@ def _suite_bodies(plan, q_bits: int):
         ), "u32"
         t1 = plan.pallas_tables(False, n1_log, 1)
         bodies["pallas-u32"] = (
-            lambda x: pf.fwd_fused((x,), U32Ops, t1, q, n1_log, strict=True)[0]
+            lambda x: pf.fwd_fused(
+                (x,), U32Ops, t1, q, n1_log, strict=True, interpret=interp
+            )[0]
         ), "u32"
     if plan.supports_u32_radix4:
         w4, w4c, _, _ = plan.dev_r4_u32
@@ -150,7 +155,8 @@ def _suite_bodies(plan, q_bits: int):
     ), "u64"
     t2 = plan.pallas_tables(False, n1_log, 2)
     bodies["pallas-u64"] = (
-        lambda x: pf.fwd_fused(x, U64Ops, t2, q, n1_log, strict=True)
+        lambda x: pf.fwd_fused(x, U64Ops, t2, q, n1_log, strict=True,
+                               interpret=interp)
     ), "u64"
     if plan.q.bit_length() <= 61:
         w4u, w4cu, _, _ = plan.dev_r4_u64
@@ -178,7 +184,8 @@ def _suite_bodies(plan, q_bits: int):
 
 
 def suite(args) -> None:
-    """Per-variant device-time table (stderr), loop-differencing protocol."""
+    """Per-variant device-time table (stderr + JSON file), loop-differencing
+    protocol."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -196,14 +203,25 @@ def suite(args) -> None:
         f"variant device timings at q={p.q:#x} ({p.q.bit_length()}-bit), "
         f"N=2^{p.m}, batch={args.batch}:", file=sys.stderr,
     )
-    for name, (body, rep) in sorted(_suite_bodies(plan, args.q_bits).items()):
+    results = {}
+    for name, (body, rep) in sorted(_suite_bodies(plan).items()):
         x0 = a32 if rep == "u32" else a64
         sec = _measure_loop(body, x0, reps=args.reps, k1=2, k2=2 + args.inner)
+        results[name] = {
+            "us_per_transform": round(sec / args.batch * 1e6, 3),
+            "tps": round(args.batch / sec, 1),
+        }
         print(
             f"  {name:14s} {sec/args.batch*1e6:8.2f} us/transform "
             f"({args.batch/sec:12,.0f} tps)",
             file=sys.stderr, flush=True,
         )
+    with open(args.suite_json, "w") as f:
+        json.dump(
+            {"q": hex(p.q), "m": p.m, "batch": args.batch, "variants": results},
+            f, indent=1,
+        )
+    print(f"suite JSON written to {args.suite_json}", file=sys.stderr)
 
 
 def roofline(p, sec_per_transform: float, nlimb: int, peak_gbs: float) -> str:
@@ -233,6 +251,8 @@ def main() -> None:
     ap.add_argument("--m", type=int, default=14)
     ap.add_argument("--q-bits", type=int, default=62)
     ap.add_argument("--suite", action="store_true")
+    ap.add_argument("--suite-json", default="bench_suite.json",
+                    help="where --suite writes its per-variant JSON table")
     ap.add_argument("--peak-gbs", type=float, default=819.0,
                     help="HBM peak for the roofline line (v5e ~819 GB/s)")
     ap.add_argument("--profile-dir", default=None,
@@ -274,13 +294,14 @@ def main() -> None:
     import jax
 
     nlimb = 1 if p.q < (1 << 30) else 2
-    print(
+    line = (
         f"device={jax.devices()[0].device_kind} q={p.q:#x} N=2^{p.m} "
         f"batch={args.batch}: {tps:,.0f} transforms/s, "
-        f"{ns_bf:.3f} ns/butterfly; host-CPU baseline "
-        f"{base:,.0f}/s -> {vs:.1f}x" if base else "",
-        file=sys.stderr,
+        f"{ns_bf:.3f} ns/butterfly"
     )
+    if base:
+        line += f"; host-CPU baseline {base:,.0f}/s -> {vs:.1f}x"
+    print(line, file=sys.stderr)
     print(roofline(p, 1.0 / tps, nlimb, args.peak_gbs), file=sys.stderr)
     print(
         json.dumps(

@@ -726,14 +726,10 @@ def _resolve(params_or_plan) -> NttPlan:
     raise TypeError(type(params_or_plan))
 
 
-def _auto_variant(plan: NttPlan, radix: int = 2) -> str:
+def _auto_variant(plan: NttPlan) -> str:
     """Measured-fastest path (calibrated v5e sweeps, see README
     'Performance'): the six-step kernel with the measured N2=64 split wins
     at both modulus widths (q62 N=2^14: 7.82 us/t vs 8.67 flat radix-2)."""
-    if radix == 4 and plan.supports_u32_radix4:
-        return "radix4-u32"
-    if radix == 4:
-        return "radix4"
     return "sixstep"
 
 

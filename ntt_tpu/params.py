@@ -68,6 +68,23 @@ def find_ntt_prime(bits: int, m: int, skip: int = 0) -> int:
     raise ValueError(f"no NTT prime with bits={bits}, m={m}")
 
 
+def find_ntt_primes(bits: int, m: int, count: int) -> list[int]:
+    """The `count` largest primes q < 2^bits with 2^(m+1) | q - 1, in one
+    descending scan (the multi-prime form of find_ntt_prime; used by the
+    RNS layer to build towers without re-scanning per channel)."""
+    two_n = 1 << (m + 1)
+    k = ((1 << bits) - 1) // two_n
+    out: list[int] = []
+    while k > 0 and len(out) < count:
+        q = k * two_n + 1
+        if q < (1 << bits) and is_probable_prime(q):
+            out.append(q)
+        k -= 1
+    if len(out) < count:
+        raise ValueError(f"only {len(out)} NTT primes with bits={bits}, m={m}")
+    return out
+
+
 def primitive_2n_root(q: int, m: int) -> int:
     """Minimum primitive 2N-th root of unity mod q, N = 2^m.
 

@@ -36,18 +36,18 @@ class RnsTower:
             assert all(p.m == self.params[0].m for p in self.params)
             self.m = self.params[0].m
         else:
-            self.params = []
-            seen = set()
+            # one descending prime scan per distinct width (not per channel)
+            from ntt_tpu.params import find_ntt_primes
+
+            counts: dict[int, int] = {}
             for bits in q_bits:
-                # distinct primes: skip over already-used ones of this width
-                skip = 0
-                while True:
-                    p = NttParams.generate(bits, m, skip=skip)
-                    if p.q not in seen:
-                        break
-                    skip += 1
-                seen.add(p.q)
-                self.params.append(p)
+                counts[bits] = counts.get(bits, 0) + 1
+            pools = {
+                bits: iter(find_ntt_primes(bits, m, k)) for bits, k in counts.items()
+            }
+            self.params = [
+                NttParams.make(next(pools[bits]), m) for bits in q_bits
+            ]
             self.m = m
         self.n = 1 << self.m
         self.moduli = [p.q for p in self.params]

@@ -17,9 +17,8 @@ from ntt_tpu import refmodel as rm
 from ntt_tpu.params import NttParams
 from ntt_tpu.plan import get_plan
 
-SEED = int.from_bytes(os.urandom(4), "little")
+SEED = int(os.environ.get("FUZZ_SEED", int.from_bytes(os.urandom(4), "little")))
 print(f"\n[test_fuzz] session seed = {SEED} (rerun: FUZZ_SEED={SEED})")
-SEED = int(os.environ.get("FUZZ_SEED", SEED))
 _RNG = np.random.default_rng(SEED)
 
 # a few random instances per run: q width spanning both limb paths, small m
