@@ -100,6 +100,150 @@ void nttcore_expand_radix4(const u64* w, u64 n, u64 q, u64* out) {
   }
 }
 
+// ---------------------------------------------------- SIMD layout generators
+//
+// Foreign cross-checks for the remaining pre_compute.h layout families
+// (upstream pre_compute.h:109-367).  Each layout is a pure function of the
+// bit-reversed power table; these are written against the layout *spec*
+// (segment map + duplication factors), structured around a cursor/emitter
+// rather than the upstream index walks, so agreement with the Python
+// builders is meaningful evidence.
+
+struct Cursor {
+  u64* buf;
+  u64 pos = 0;
+  void put(u64 v) { buf[pos++] = v; }
+  void run(const u64* src, u64 count) {
+    for (u64 i = 0; i < count; ++i) put(src[i]);
+  }
+  void align8_next() { pos = (pos & ~7ull) + 8; }
+};
+
+// {w1, w2, w1*w2, w3, -(w1*w3)} for head index i (pre_compute.h:169-177).
+inline void emit_quintuple(Cursor& c, const u64* w, u64 i, u64 q) {
+  u64 w1 = w[i], w2 = w[2 * i], w3 = w[2 * i + 1];
+  c.put(w1);
+  c.put(w2);
+  c.put(mulmod(w1, w2, q));
+  c.put(w3);
+  c.put(q - mulmod(w1, w3, q));
+}
+
+// Duplicated tail segments shared by the hexl/r2_16/r4r2 layouts.
+inline void emit_repeat(Cursor& c, const u64* src, u64 count, u64 times) {
+  for (u64 i = 0; i < count; ++i)
+    for (u64 r = 0; r < times; ++r) c.put(src[i]);
+}
+
+// FwdT2 pattern: per 4 source entries emit (0,0,2,2,1,1,3,3).
+inline void emit_t2(Cursor& c, const u64* src, u64 count) {
+  static const int ord[8] = {0, 0, 2, 2, 1, 1, 3, 3};
+  for (u64 i = 0; i < count; i += 4)
+    for (int k = 0; k < 8; ++k) c.put(src[i + ord[k]]);
+}
+
+// FwdT1 pattern: per 8 source entries emit the (0,4,1,5,2,6,3,7) interleave.
+inline void emit_t1(Cursor& c, const u64* src, u64 count) {
+  static const int perm[8] = {0, 4, 1, 5, 2, 6, 3, 7};
+  for (u64 i = 0; i < count; i += 8)
+    for (int k = 0; k < 8; ++k) c.put(src[i + perm[k]]);
+}
+
+// HEXL layout, 2n buffer / 13n/8 used (upstream pre_compute.h:109-137).
+void nttcore_expand_hexl(const u64* w, u64 n, u64* out) {
+  std::memset(out, 0, 2 * n * sizeof(u64));
+  Cursor c{out};
+  c.run(w, n / 8);
+  emit_repeat(c, w + n / 8, n / 8, 4);
+  emit_repeat(c, w + n / 4, n / 4, 2);
+  c.run(w + n / 2, n / 2);
+}
+
+// r2_16 layout, 3n buffer (upstream pre_compute.h:326-367).
+void nttcore_expand_r2_16(const u64* w, u64 n, u64* out) {
+  std::memset(out, 0, 3 * n * sizeof(u64));
+  Cursor c{out};
+  c.run(w, n / 8);
+  emit_repeat(c, w + n / 8, n / 8, 4);
+  emit_t2(c, w + n / 4, n / 4);
+  emit_t1(c, w + n / 2, n / 2);
+}
+
+// Vector radix-4 table, 5n buffer, ordered or lane-permuted/unordered
+// (upstream pre_compute.h:154-251).
+void nttcore_expand_r4_vec(const u64* w, u64 n, u64 q, int unordered, u64* out) {
+  std::memset(out, 0, 5 * n * sizeof(u64));
+  Cursor c{out};
+  bool even = (__builtin_ctzll(n) % 2) == 0;
+  u64 i = 1, m = 1;
+  c.pos = 1;
+  if (!even) {
+    c.put(w[1]);  // odd log2: leading radix-2 stage twiddle
+    i = m = 2;
+  }
+  // FWD8: quintuples per group while t >= 8
+  while (i < (n >> 5)) {
+    for (u64 g = 0; g < m; ++g) emit_quintuple(c, w, i++, q);
+    i = 4 * m;
+    m <<= 2;
+  }
+  // FWD4: two-pair broadcast groups of 10
+  for (u64 j = n >> 4; j < (n >> 3); j += 2) {
+    u64 k = 2 * j;
+    c.put(w[j]);
+    c.put(w[j + 1]);
+    c.put(w[k]);
+    c.put(w[k + 2]);
+    c.put(mulmod(w[j], w[k], q));
+    c.put(mulmod(w[j + 1], w[k + 2], q));
+    c.put(w[k + 1]);
+    c.put(w[k + 3]);
+    c.put(q - mulmod(w[j], w[k + 1], q));
+    c.put(q - mulmod(w[j + 1], w[k + 3], q));
+  }
+  c.align8_next();
+  // FWD1: per 8-group, five 8-lane vectors (quintuple components as rows)
+  static const int perm[8] = {0, 4, 1, 5, 2, 6, 3, 7};
+  for (u64 j = n >> 2; j < (n >> 1); j += 8) {
+    u64 block[5][8];
+    for (int lane = 0; lane < 8; ++lane) {
+      u64 idx = j + lane;
+      u64 w1 = w[idx], w2 = w[2 * idx], w3 = w[2 * idx + 1];
+      block[0][lane] = w1;
+      block[1][lane] = w2;
+      block[2][lane] = mulmod(w1, w2, q);
+      block[3][lane] = w3;
+      block[4][lane] = q - mulmod(w1, w3, q);
+    }
+    for (int r = 0; r < 5; ++r)
+      for (int lane = 0; lane < 8; ++lane)
+        c.put(block[r][unordered ? perm[lane] : lane]);
+  }
+}
+
+// Mixed radix-4 heads + duplicated radix-2 tail, 5n buffer
+// (upstream pre_compute.h:253-324).
+void nttcore_expand_r4r2(const u64* w, u64 n, u64 q, u64* out) {
+  std::memset(out, 0, 5 * n * sizeof(u64));
+  Cursor c{out};
+  c.pos = 1;
+  u64 i = 1, m = 1;
+  u64 t = n >> 4;
+  while (i < t) {
+    for (u64 g = 0; g < m; ++g) emit_quintuple(c, w, i++, q);
+    i = 4 * m;
+    m <<= 2;
+  }
+  c.align8_next();
+  if ((__builtin_ctzll(n) % 2) == 0) c.run(w + i, t);
+  t <<= 1;
+  emit_repeat(c, w + t, t, 4);
+  t <<= 1;
+  emit_t2(c, w + t, t);
+  t <<= 1;
+  emit_t1(c, w + t, t);
+}
+
 // ------------------------------------------------------------ simple oracle
 //
 // Plain mod-q arithmetic (no lazy reduction anywhere): a deliberately

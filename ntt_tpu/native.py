@@ -40,6 +40,10 @@ def _load():
     lib.nttcore_power_table.argtypes = [u64, u64, u64, _U64P]
     lib.nttcore_shoup_table.argtypes = [_U64P, u64, u64, ctypes.c_uint, _U64P]
     lib.nttcore_expand_radix4.argtypes = [_U64P, u64, u64, _U64P]
+    lib.nttcore_expand_hexl.argtypes = [_U64P, u64, _U64P]
+    lib.nttcore_expand_r2_16.argtypes = [_U64P, u64, _U64P]
+    lib.nttcore_expand_r4_vec.argtypes = [_U64P, u64, u64, ctypes.c_int, _U64P]
+    lib.nttcore_expand_r4r2.argtypes = [_U64P, u64, u64, _U64P]
     lib.nttcore_fwd_simple.argtypes = [_U64P, u64, u64, _U64P]
     lib.nttcore_inv_simple.argtypes = [_U64P, u64, u64, u64, _U64P]
     lib.nttcore_fwd_lazy64.argtypes = [_U64P, u64, u64, _U64P, _U64P, ctypes.c_int]
@@ -71,6 +75,34 @@ def expand_radix4(w: np.ndarray, q: int) -> np.ndarray:
     w = np.ascontiguousarray(w, dtype=np.uint64)
     out = np.zeros(2 * w.size, dtype=np.uint64)
     _load().nttcore_expand_radix4(w, w.size, q, out)
+    return out
+
+
+def expand_hexl(w: np.ndarray) -> np.ndarray:
+    w = np.ascontiguousarray(w, dtype=np.uint64)
+    out = np.zeros(2 * w.size, dtype=np.uint64)
+    _load().nttcore_expand_hexl(w, w.size, out)
+    return out
+
+
+def expand_r2_16(w: np.ndarray) -> np.ndarray:
+    w = np.ascontiguousarray(w, dtype=np.uint64)
+    out = np.zeros(3 * w.size, dtype=np.uint64)
+    _load().nttcore_expand_r2_16(w, w.size, out)
+    return out
+
+
+def expand_r4_vec(w: np.ndarray, q: int, unordered: bool = False) -> np.ndarray:
+    w = np.ascontiguousarray(w, dtype=np.uint64)
+    out = np.zeros(5 * w.size, dtype=np.uint64)
+    _load().nttcore_expand_r4_vec(w, w.size, q, 1 if unordered else 0, out)
+    return out
+
+
+def expand_r4r2(w: np.ndarray, q: int) -> np.ndarray:
+    w = np.ascontiguousarray(w, dtype=np.uint64)
+    out = np.zeros(5 * w.size, dtype=np.uint64)
+    _load().nttcore_expand_r4r2(w, w.size, q, out)
     return out
 
 

@@ -31,6 +31,22 @@ def test_twiddle_tables_match(p):
 
 
 @pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_simd_layout_tables_match(p):
+    """Every SIMD layout builder (upstream pre_compute.h:109-367) verified
+    element-wise against the independently written C++ generator."""
+    plan = get_plan(p)
+    np.testing.assert_array_equal(native.expand_hexl(plan.w), plan.w_hexl)
+    np.testing.assert_array_equal(native.expand_r2_16(plan.w), plan.w_r2_16)
+    np.testing.assert_array_equal(native.expand_r4r2(plan.w, p.q), plan.w_r4r2)
+    np.testing.assert_array_equal(
+        native.expand_r4_vec(plan.w, p.q, False), plan.w_r4_vec(False)
+    )
+    np.testing.assert_array_equal(
+        native.expand_r4_vec(plan.w, p.q, True), plan.w_r4_vec(True)
+    )
+
+
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
 def test_fwd_parity_three_ways(p, rng):
     plan = get_plan(p)
     a = make_input(rng, p.n, p.q)
