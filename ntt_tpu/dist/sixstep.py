@@ -74,6 +74,91 @@ def _tables(plan: NttPlan, inverse: bool):
     return U64Ops, (wlo, whi), (clo, chi)
 
 
+def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
+                        axis: str, n_chunks: int, strict: bool):
+    """Phase-1 output (..., N1, N2/D) -> all_to_all transpose + row stages
+    -> transposed local layout (..., N2, N1/D).
+
+    n_chunks > 1 splits the collective into column chunks: phase 2 is
+    independent per column, so chunking is exact and lets XLA's
+    latency-hiding scheduler overlap chunk c+1's collective with chunk c's
+    compute (comm/compute overlap without a hand-rolled Pallas ring).
+    Device d's output columns come from row-block d WITHIN each source
+    shard, so a chunk slices inside each of the D local row-blocks (view
+    rows as (D, N1/D) and cut the inner axis); chunk c then lands on
+    contiguous global columns my_col0 + [c*cpc, (c+1)*cpc)."""
+
+    def transpose_and_rows(chunk, col0, ncols):
+        chunk = tmap(
+            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
+                                     concat_axis=l.ndim - 1, tiled=True),
+            chunk,
+        )
+        chunk = tmap(lambda l: jnp.swapaxes(l, -1, -2), chunk)
+        out = sixstep.fwd_phase2(chunk, ops, w, wc, q, n1, n2, col0, ncols)
+        if strict:
+            out = ops.reduce_4q_to_q(out, q)
+        return out
+
+    my_col0 = lax.axis_index(axis) * (n1 // ndev)
+    if n_chunks == 1:
+        return transpose_and_rows(a, my_col0, n1 // ndev)
+    cpc = n1 // (ndev * n_chunks)  # columns per chunk
+
+    def cut(l, c):
+        lead = l.shape[:-2]
+        v = l.reshape(lead + (ndev, n1 // ndev, l.shape[-1]))
+        v = v[..., :, c * cpc : (c + 1) * cpc, :]
+        return v.reshape(lead + (ndev * cpc, l.shape[-1]))
+
+    outs = [
+        transpose_and_rows(tmap(lambda l, c=c: cut(l, c), a),
+                           my_col0 + c * cpc, cpc)
+        for c in range(n_chunks)
+    ]
+    return tmap(lambda *ls: jnp.concatenate(ls, axis=-1), *outs)
+
+
+def _inv_collect_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con,
+                        q: int, n1: int, n2: int, ndev: int, axis: str,
+                        n_chunks: int):
+    """Post-phaseA data (..., N1/D, N2) -> inverse all_to_all -> column
+    stages + fused n_inv final -> natural shard (..., N1, N2/D).
+
+    The mirror of _fwd_transpose_rows: phaseB is independent per lane
+    (column twiddles broadcast across lanes, the final n_inv stage is
+    element-wise), so the inverse collective chunks along the output lane
+    axis -- a chunk slices the inner axis of the N2 dim viewed (D, N2/D),
+    landing on contiguous local output lanes [c*cpc, (c+1)*cpc)."""
+
+    def collect_and_cols(chunk):
+        chunk = tmap(
+            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 1,
+                                     concat_axis=l.ndim - 2, tiled=True),
+            chunk,
+        )
+        return sixstep.inv_phaseB(
+            chunk, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1,
+            chunk[0].shape[-1],
+        )
+
+    if n_chunks == 1:
+        return collect_and_cols(a)
+    cpc = n2 // (ndev * n_chunks)  # output lanes per chunk
+
+    def cut(l, c):
+        lead = l.shape[:-1]
+        v = l.reshape(lead + (ndev, n2 // ndev))
+        v = v[..., :, c * cpc : (c + 1) * cpc]
+        return v.reshape(lead + (ndev * cpc,))
+
+    outs = [
+        collect_and_cols(tmap(lambda l, c=c: cut(l, c), a))
+        for c in range(n_chunks)
+    ]
+    return tmap(lambda *ls: jnp.concatenate(ls, axis=-1), *outs)
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
                   axis: str, strict: bool, mesh: Mesh,
@@ -93,46 +178,8 @@ def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         w = flat[nlimb : 2 * nlimb]
         wc = flat[2 * nlimb :]
         a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev)
-
-        def transpose_and_rows(chunk, col0, ncols):
-            """all_to_all one row-chunk over ICI, then its row stages --
-            phase 2 is independent per column, so chunking is exact and
-            lets XLA's latency-hiding scheduler overlap chunk c+1's
-            collective with chunk c's compute (comm/compute overlap
-            without a hand-rolled Pallas ring)."""
-            chunk = tmap(
-                lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
-                                         concat_axis=l.ndim - 1, tiled=True),
-                chunk,
-            )
-            chunk = tmap(lambda l: jnp.swapaxes(l, -1, -2), chunk)
-            out = sixstep.fwd_phase2(chunk, ops, w, wc, q, n1, n2, col0, ncols)
-            if strict:
-                out = ops.reduce_4q_to_q(out, q)
-            return out
-
-        my_col0 = lax.axis_index(axis) * (n1 // ndev)
-        if n_chunks == 1:
-            a = transpose_and_rows(a, my_col0, n1 // ndev)
-        else:
-            # Device d's output columns come from row-block d WITHIN each
-            # source shard, so a chunk slices inside each of the D local
-            # row-blocks (view rows as (D, N1/D) and cut the inner axis);
-            # chunk c then lands on contiguous global columns
-            # my_col0 + [c*cpc, (c+1)*cpc).
-            cpc = n1 // (ndev * n_chunks)  # columns per chunk
-            outs = []
-            for c in range(n_chunks):
-                def cut(l, c=c):
-                    lead = l.shape[:-2]
-                    v = l.reshape(lead + (ndev, n1 // ndev, l.shape[-1]))
-                    v = v[..., :, c * cpc : (c + 1) * cpc, :]
-                    return v.reshape(lead + (ndev * cpc, l.shape[-1]))
-
-                outs.append(
-                    transpose_and_rows(tmap(cut, a), my_col0 + c * cpc, cpc)
-                )
-            a = tmap(lambda *ls: jnp.concatenate(ls, axis=-1), *outs)
+        a = _fwd_transpose_rows(a, ops, w, wc, q, n1, n2, ndev, axis,
+                                n_chunks, strict)
         return tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
 
     a_spec = P(batch_axis, None, axis)  # (batch[, dp-sharded], N1, N2-sharded)
@@ -148,12 +195,16 @@ def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
 @functools.lru_cache(maxsize=None)
 def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
                   axis: str, n_inv_op: int, n_inv_con: int, f_tmp: int,
-                  f_con: int, mesh: Mesh, batch_axis: str | None = None):
+                  f_con: int, mesh: Mesh, batch_axis: str | None = None,
+                  n_chunks: int = 1):
     ops = U32Ops if nlimb == 1 else U64Ops
     logn = n.bit_length() - 1
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
     assert n1 % ndev == 0 and n2 % ndev == 0, (
         f"N1={n1}, N2={n2} must both divide by mesh size {ndev}"
+    )
+    assert n2 % (ndev * n_chunks) == 0, (
+        f"N2={n2} must divide by mesh*chunks = {ndev * n_chunks}"
     )
 
     def local_fn(*flat):
@@ -164,16 +215,10 @@ def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         col0 = lax.axis_index(axis) * (n1 // ndev)
         a = sixstep.inv_phaseA(a, ops, w, wc, q, n1, n2, col0, n1 // ndev)
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
-        # inverse transpose collective: (..., N1/D, N2) -> (..., N1, N2/D)
-        a = tmap(
-            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 1,
-                                     concat_axis=l.ndim - 2, tiled=True),
-            a,
+        return _inv_collect_phaseB(
+            a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1, n2,
+            ndev, axis, n_chunks,
         )
-        a = sixstep.inv_phaseB(
-            a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1, n2 // ndev
-        )
-        return a
 
     a_spec = P(batch_axis, axis, None)
     out_spec = P(batch_axis, None, axis)
@@ -217,7 +262,10 @@ def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
 
 def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
                  n1_log: int | None = None, axis: str = "x",
-                 batch_axis: str | None = None) -> np.ndarray:
+                 batch_axis: str | None = None, n_chunks: int = 1) -> np.ndarray:
+    """Inverse NTT sharded over mesh axis `axis`.  n_chunks > 1 splits the
+    inverse collective into output-lane chunks so chunk c+1's all_to_all
+    overlaps chunk c's column stages (exact; mirror of dist_fwd_ntt)."""
     if mesh is None:
         mesh = default_mesh(axis=axis)
     ndev = mesh.shape[axis]
@@ -239,7 +287,7 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     rep = ops.from_host(a3)
     fn = _jit_dist_inv(
         plan.q, n, n1_log, ops.nlimb, ndev, axis,
-        plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis,
+        plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis, n_chunks,
     )
     out = fn(*rep, *w, *wc)
     return ops.to_host(out).reshape(a.shape)
@@ -248,12 +296,16 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
 @functools.lru_cache(maxsize=None)
 def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
                       axis: str, n_inv_op: int, n_inv_con: int, f_tmp: int,
-                      f_con: int, mesh: Mesh, batch_axis: str | None):
+                      f_con: int, mesh: Mesh, batch_axis: str | None,
+                      n_chunks: int = 1):
     ops = U32Ops if nlimb == 1 else U64Ops
     logn = n.bit_length() - 1
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
     assert n1 % ndev == 0 and n2 % ndev == 0, (
         f"N1={n1}, N2={n2} must both divide by mesh size {ndev}"
+    )
+    assert n1 % (ndev * n_chunks) == 0 and n2 % (ndev * n_chunks) == 0, (
+        f"N1={n1}, N2={n2} must divide by mesh*chunks = {ndev * n_chunks}"
     )
 
     def fwd_local(a, w, wc):
@@ -261,15 +313,8 @@ def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         layout -- pointwise products don't care about coefficient order
         (the unordered contract, at the distributed level)."""
         a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev)
-        a = tmap(
-            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
-                                     concat_axis=l.ndim - 1, tiled=True),
-            a,
-        )
-        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-        col0 = lax.axis_index(axis) * (n1 // ndev)
-        a = sixstep.fwd_phase2(a, ops, w, wc, q, n1, n2, col0, n1 // ndev)
-        return ops.reduce_4q_to_q(a, q)
+        return _fwd_transpose_rows(a, ops, w, wc, q, n1, n2, ndev, axis,
+                                   n_chunks, strict=True)
 
     def local_fn(*flat):
         a = flat[:nlimb]
@@ -284,14 +329,9 @@ def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         col0 = lax.axis_index(axis) * (n1 // ndev)
         fc = sixstep.inv_phaseA(fc, ops, wi, wic, q, n1, n2, col0, n1 // ndev)
         fc = tmap(lambda l: jnp.swapaxes(l, -1, -2), fc)
-        fc = tmap(
-            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 1,
-                                     concat_axis=l.ndim - 2, tiled=True),
-            fc,
-        )
-        return sixstep.inv_phaseB(
-            fc, ops, wi, wic, n_inv_op, n_inv_con, f_tmp, f_con, q, n1,
-            n2 // ndev,
+        return _inv_collect_phaseB(
+            fc, ops, wi, wic, n_inv_op, n_inv_con, f_tmp, f_con, q, n1, n2,
+            ndev, axis, n_chunks,
         )
 
     io_spec = P(batch_axis, None, axis)  # natural (batch, N1, N2-sharded)
@@ -305,8 +345,8 @@ def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
 
 def dist_negacyclic_mul(a: np.ndarray, b: np.ndarray, plan: NttPlan,
                         mesh: Mesh | None = None, n1_log: int | None = None,
-                        axis: str = "x",
-                        batch_axis: str | None = None) -> np.ndarray:
+                        axis: str = "x", batch_axis: str | None = None,
+                        n_chunks: int = 1) -> np.ndarray:
     """Polynomial product in R_q[X]/(X^N+1) with every step sharded over
     the mesh: two forward transforms, the pointwise product, and the
     inverse run inside ONE shard_map/jit -- the NTT-domain intermediates
@@ -336,7 +376,7 @@ def dist_negacyclic_mul(a: np.ndarray, b: np.ndarray, plan: NttPlan,
     rep_b = ops.from_host(b.reshape((-1, n1, n2)))
     fn = _jit_dist_polymul(
         plan.q, n, n1_log, ops.nlimb, ndev, axis,
-        plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis,
+        plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis, n_chunks,
     )
     out = fn(*rep_a, *rep_b, *w, *wc, *wi, *wic)
     return ops.to_host(out).reshape(a.shape)

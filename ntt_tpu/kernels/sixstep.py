@@ -74,6 +74,41 @@ def _stage_axis1(a_rep, m: int, t: int, lanes: int, bfly):
     )
 
 
+def _stage_group_axis1(a_rep, g: int, m: int, tg: int, lanes: int, bfly_at,
+                       reverse: bool = False):
+    """g consecutive butterfly stages with ONE interleave (the XLA analog of
+    the reference's layers-per-residency fusion, src/ntt_radix4x4.c:64-75).
+
+    Key fact: a DIT/DIF stage writes its outputs to the rows it read (the
+    per-stage stack+reshape in _stage_axis1 is an identity relayout), so g
+    stages compose with no intermediate data movement.  View each group as
+    (m, 2^g, tg): level L pairs slice c with c | 2^(g-1-L); slice c's
+    group index at that level is h = g_idx * 2^L + (c >> (g-L)).  One
+    jnp.stack at the end -> one XLA materialization per g stages instead
+    of per stage.
+
+    bfly_at(L, c_high, x, y) applies the level-L butterfly with the
+    twiddles of groups h = g_idx * 2^L + c_high.  reverse runs the levels
+    in descending order with inverse butterflies (for the inverse NTT)."""
+    lead = a_rep[0].shape[:-2]
+    shape = lead + (m, 1 << g, tg, lanes)
+    v = tmap(lambda l: l.reshape(shape), a_rep)
+    xs = [tmap(lambda l, c=c: l[..., c, :, :], v) for c in range(1 << g)]
+    levels = range(g - 1, -1, -1) if reverse else range(g)
+    for L in levels:
+        pb = g - 1 - L  # pairing bit of the slice index
+        for c in range(1 << g):
+            if c & (1 << pb):
+                continue
+            c2 = c | (1 << pb)
+            xs[c], xs[c2] = bfly_at(L, c >> (pb + 1), xs[c], xs[c2])
+    per_limb = list(zip(*xs))  # [limb][slice]
+    return tuple(
+        jnp.stack(ls, axis=-3).reshape(lead + (m * (1 << g) * tg, lanes))
+        for ls in per_limb
+    )
+
+
 def _col_tw(w_rep, m: int):
     """Column-phase twiddles for the stage with m groups: w[m:2m]."""
     return tmap(lambda l: l[m : 2 * m].reshape(m, 1, 1), w_rep)
@@ -103,52 +138,123 @@ def _row_tw(w_rep, m2: int, n1_size: int, col0, ncols: int):
 # ---------------------------------------------------------------------------
 
 
-def fwd_phase1(a, ops, w, wc, q: int, n1_size: int, lanes: int):
-    """Forward column stages on (..., N1, L) -- all stages with m < N1."""
-    m, t = 1, n1_size >> 1
-    while m < n1_size:
-        wo, wco = _col_tw(w, m), _col_tw(wc, m)
-        a = _stage_axis1(a, m, t, lanes, lambda x, y: ops.fwd_bfly(x, y, wo, wco, q))
-        m <<= 1
-        t >>= 1
+def _col_tw_at(w_rep, m: int, L: int, c_high: int):
+    """Level-L column twiddles for a grouped stage starting at m groups:
+    the slice of groups h = g_idx * 2^L + c_high."""
+    m2 = m << L
+    return tmap(
+        lambda l: l[m2 : 2 * m2].reshape(m, 1 << L)[:, c_high].reshape(m, 1, 1),
+        w_rep,
+    )
+
+
+def _row_tw_at(w_rep, m: int, L: int, c_high: int, n1_size: int, col0,
+               ncols: int):
+    """Level-L row twiddles for a grouped stage: the c_high slice of the
+    stage-(m * 2^L) per-column twiddle matrix."""
+    full = _row_tw(w_rep, m << L, n1_size, col0, ncols)  # (m*2^L, 1, ncols)
+    return tmap(
+        lambda l: l.reshape(m, 1 << L, 1, ncols)[:, c_high], full
+    )
+
+
+def fwd_phase1(a, ops, w, wc, q: int, n1_size: int, lanes: int,
+               group: int = 1):
+    """Forward column stages on (..., N1, L) -- all stages with m < N1.
+    group > 1 fuses that many stages per interleave (see
+    _stage_group_axis1)."""
+    logn1 = n1_size.bit_length() - 1
+    s = 0
+    while s < logn1:
+        g = min(group, logn1 - s)
+        m, tg = 1 << s, n1_size >> (s + g)
+        if g == 1:
+            wo, wco = _col_tw(w, m), _col_tw(wc, m)
+            a = _stage_axis1(a, m, tg, lanes,
+                             lambda x, y: ops.fwd_bfly(x, y, wo, wco, q))
+        else:
+            def bfly_at(L, c_high, x, y, m=m):
+                wo = _col_tw_at(w, m, L, c_high)
+                wco = _col_tw_at(wc, m, L, c_high)
+                return ops.fwd_bfly(x, y, wo, wco, q)
+
+            a = _stage_group_axis1(a, g, m, tg, lanes, bfly_at)
+        s += g
     return a
 
 
 def fwd_phase2(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
-               col0, ncols: int):
+               col0, ncols: int, group: int = 1):
     """Forward row stages on the transposed view (..., N2, ncols), where
     ncols is the local slice of the N1 axis starting at global column col0."""
-    m2, t2 = 1, n2_size >> 1
-    while m2 < n2_size:
-        wo = _row_tw(w, m2, n1_size, col0, ncols)
-        wco = _row_tw(wc, m2, n1_size, col0, ncols)
-        a = _stage_axis1(a, m2, t2, ncols, lambda x, y: ops.fwd_bfly(x, y, wo, wco, q))
-        m2 <<= 1
-        t2 >>= 1
+    logn2 = n2_size.bit_length() - 1
+    s = 0
+    while s < logn2:
+        g = min(group, logn2 - s)
+        m2, tg = 1 << s, n2_size >> (s + g)
+        if g == 1:
+            wo = _row_tw(w, m2, n1_size, col0, ncols)
+            wco = _row_tw(wc, m2, n1_size, col0, ncols)
+            a = _stage_axis1(a, m2, tg, ncols,
+                             lambda x, y: ops.fwd_bfly(x, y, wo, wco, q))
+        else:
+            def bfly_at(L, c_high, x, y, m2=m2):
+                wo = _row_tw_at(w, m2, L, c_high, n1_size, col0, ncols)
+                wco = _row_tw_at(wc, m2, L, c_high, n1_size, col0, ncols)
+                return ops.fwd_bfly(x, y, wo, wco, q)
+
+            a = _stage_group_axis1(a, g, m2, tg, ncols, bfly_at)
+        s += g
     return a
 
 
 def inv_phaseA(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
-               col0, ncols: int):
+               col0, ncols: int, group: int = 1):
     """Inverse row stages (global m = N/2 .. N1) on (..., N2, ncols)."""
     logn2 = n2_size.bit_length() - 1
-    for s in reversed(range(logn2)):
-        m2, t2 = 1 << s, n2_size >> (s + 1)
-        wo = _row_tw(w, m2, n1_size, col0, ncols)
-        wco = _row_tw(wc, m2, n1_size, col0, ncols)
-        a = _stage_axis1(a, m2, t2, ncols, lambda x, y: ops.bkw_bfly(x, y, wo, wco, q))
+    s_top = logn2
+    while s_top > 0:
+        g = min(group, s_top)
+        s = s_top - g
+        m2, tg = 1 << s, n2_size >> (s + g)
+        if g == 1:
+            wo = _row_tw(w, m2, n1_size, col0, ncols)
+            wco = _row_tw(wc, m2, n1_size, col0, ncols)
+            a = _stage_axis1(a, m2, tg, ncols,
+                             lambda x, y: ops.bkw_bfly(x, y, wo, wco, q))
+        else:
+            def bfly_at(L, c_high, x, y, m2=m2):
+                wo = _row_tw_at(w, m2, L, c_high, n1_size, col0, ncols)
+                wco = _row_tw_at(wc, m2, L, c_high, n1_size, col0, ncols)
+                return ops.bkw_bfly(x, y, wo, wco, q)
+
+            a = _stage_group_axis1(a, g, m2, tg, ncols, bfly_at, reverse=True)
+        s_top = s
     return a
 
 
 def inv_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, final_tmp, final_con,
-               q: int, n1_size: int, lanes: int):
+               q: int, n1_size: int, lanes: int, group: int = 1):
     """Inverse column stages (global m = N1/2 .. 2) plus the fused final
     n_inv stage, on (..., N1, L)."""
     logn1 = n1_size.bit_length() - 1
-    for s in reversed(range(1, logn1)):
-        m, t = 1 << s, n1_size >> (s + 1)
-        wo, wco = _col_tw(w, m), _col_tw(wc, m)
-        a = _stage_axis1(a, m, t, lanes, lambda x, y: ops.bkw_bfly(x, y, wo, wco, q))
+    s_top = logn1
+    while s_top > 1:
+        g = min(group, s_top - 1)
+        s = s_top - g
+        m, tg = 1 << s, n1_size >> (s + g)
+        if g == 1:
+            wo, wco = _col_tw(w, m), _col_tw(wc, m)
+            a = _stage_axis1(a, m, tg, lanes,
+                             lambda x, y: ops.bkw_bfly(x, y, wo, wco, q))
+        else:
+            def bfly_at(L, c_high, x, y, m=m):
+                wo = _col_tw_at(w, m, L, c_high)
+                wco = _col_tw_at(wc, m, L, c_high)
+                return ops.bkw_bfly(x, y, wo, wco, q)
+
+            a = _stage_group_axis1(a, g, m, tg, lanes, bfly_at, reverse=True)
+        s_top = s
     x = tmap(lambda l: l[..., : n1_size // 2, :], a)
     y = tmap(lambda l: l[..., n1_size // 2 :, :], a)
     nx, ny = ops.bkw_final(x, y, n_inv_op, n_inv_con, final_tmp, final_con, q)

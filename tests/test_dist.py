@@ -118,6 +118,30 @@ def test_dist_fwd_chunked_overlap(n_chunks, rng):
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("n_chunks", [2, 4])
+def test_dist_inv_chunked_overlap(n_chunks, rng):
+    """Output-lane-chunked inverse collective is bit-exact with the
+    monolithic one (mirror of the forward chunking)."""
+    p = FIXTURES[6]
+    plan = get_plan(p)
+    mesh = dist.default_mesh(8)
+    a = make_input(rng, p.n, p.q, batch=2)
+    f = dist.dist_fwd_ntt(a, plan, mesh=mesh, n_chunks=n_chunks)
+    back = dist.dist_inv_ntt(f, plan, mesh=mesh, n_chunks=n_chunks)
+    np.testing.assert_array_equal(back, a)
+
+
+def test_dist_polymul_chunked(rng):
+    """Chunked overlap through the whole fused polymul pipeline."""
+    p = FIXTURES[6]
+    plan = get_plan(p)
+    mesh = dist.default_mesh(8)
+    a = make_input(rng, p.n, p.q, batch=2)
+    b = make_input(rng, p.n, p.q, batch=2)
+    got = dist.dist_negacyclic_mul(a, b, plan, mesh=mesh, n_chunks=2)
+    np.testing.assert_array_equal(got, api.negacyclic_mul(a, b, p))
+
+
 @pytest.mark.parametrize("p", [FIXTURES[2], FIXTURES[13]], ids=fixture_id)
 def test_dist_negacyclic_mul(p, rng):
     """Fully-sharded polymul pipeline == host negacyclic_mul (which is

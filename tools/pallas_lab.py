@@ -222,6 +222,104 @@ def fwd_fused_v2(a_rep, ops, tables, q, n1_log, group=2, tile_b=None,
 
 
 # ---------------------------------------------------------------------------
+# diagnostic kernels: decompose the fused transform's cost
+# ---------------------------------------------------------------------------
+
+
+def _diag_call(kernel, a_rep, tables, n1, n2, tile_b, extra_rounds=0):
+    nlimb = len(a_rep)
+    lead = a_rep[0].shape[:-1]
+    batch = int(np.prod(lead)) if lead else 1
+    a3 = tuple(l.reshape(batch, n1, n2) for l in a_rep)
+    spec = pl.BlockSpec((tile_b, n1, n2), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tab_specs = [
+        pl.BlockSpec(t.shape, functools.partial(lambda r, i: (0,) * r,
+                                                len(t.shape)),
+                     memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch // tile_b,),
+        in_specs=[spec] * nlimb + tab_specs,
+        out_specs=tuple([spec] * nlimb),
+        out_shape=tuple(jax.ShapeDtypeStruct((batch, n1, n2), jnp.uint32)
+                        for _ in range(nlimb)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * (1 << 20)),
+    )(*a3, *tables)
+    return tuple(l.reshape(lead + (n1 * n2,)) for l in out)
+
+
+def diag_copy(a_rep, tables, n1, n2, tile_b):
+    """HBM floor: read the tile, write it back."""
+    nlimb = len(a_rep)
+
+    def kernel(*refs):
+        for o, i in zip(refs[-nlimb:], refs[:nlimb]):
+            o[...] = i[...]
+
+    return _diag_call(kernel, a_rep, tables, n1, n2, tile_b)
+
+
+def diag_math(a_rep, ops, tables, q, n_rounds, n1, n2, tile_b):
+    """Pure VPU math: n_rounds butterfly applications on contiguous halves
+    (zero strided movement, same op count as the real transform)."""
+    nlimb = len(a_rep)
+
+    def kernel(*refs):
+        a_refs = refs[:nlimb]
+        ctw = refs[nlimb : 2 * nlimb]
+        ctwc = refs[2 * nlimb : 3 * nlimb]
+        o_refs = refs[-nlimb:]
+        v = tuple(r[...] for r in a_refs)
+        wo = tuple(r[0].reshape(1, n1 // 2, n2) for r in ctw)
+        wc = tuple(r[0].reshape(1, n1 // 2, n2) for r in ctwc)
+        for _ in range(n_rounds):
+            x = tmap(lambda l: l[:, : n1 // 2], v)
+            y = tmap(lambda l: l[:, n1 // 2 :], v)
+            nx, ny = ops.fwd_bfly(x, y, wo, wc, q)
+            v = tmap(lambda a, b: jnp.concatenate([a, b], axis=1), nx, ny)
+        for o, l in zip(o_refs, v):
+            o[...] = l
+
+    return _diag_call(kernel, a_rep, tables, n1, n2, tile_b)
+
+
+def diag_moves(a_rep, tables, n_list, n1, n2, tile_b):
+    """Pure data movement: the real per-stage views/interleaves (plus the
+    transpose), butterflies replaced by (y, x) swap."""
+    nlimb = len(a_rep)
+    logn1, logn2 = n1.bit_length() - 1, n2.bit_length() - 1
+
+    def kernel(*refs):
+        a_refs = refs[:nlimb]
+        o_refs = refs[-nlimb:]
+        tile = a_refs[0].shape[0]
+        v = tuple(r[...] for r in a_refs)
+
+        def stage(v, m, t, lanes, n_axis):
+            view = tmap(lambda l: l.reshape(tile, m, 2, t, lanes), v)
+            x = tmap(lambda l: l[:, :, 0], view)
+            y = tmap(lambda l: l[:, :, 1], view)
+            return tmap(
+                lambda a, b: jnp.stack([b, a], axis=2).reshape(tile, n_axis,
+                                                               lanes), x, y,
+            )
+
+        for s in range(logn1):
+            v = stage(v, 1 << s, n1 >> (s + 1), n2, n1)
+        v = tmap(lambda l: jnp.swapaxes(l, -1, -2), v)
+        for s in range(logn2):
+            v = stage(v, 1 << s, n2 >> (s + 1), n1, n2)
+        v = tmap(lambda l: jnp.swapaxes(l, -1, -2), v)
+        for o, l in zip(o_refs, v):
+            o[...] = l
+
+    return _diag_call(kernel, a_rep, tables, n1, n2, tile_b)
+
+
+# ---------------------------------------------------------------------------
 # harness
 # ---------------------------------------------------------------------------
 
@@ -246,6 +344,9 @@ def main():
     ap.add_argument("--no-time", action="store_true")
     args = ap.parse_args()
 
+    import faulthandler
+
+    faulthandler.dump_traceback_later(600, repeat=True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from bench import _measure_loop
@@ -261,20 +362,26 @@ def main():
         plan = get_plan(p)
         q = p.q
         logn = p.m
+        print(f"[setup] params q={q:#x}", flush=True)
         rng = np.random.default_rng(0)
         a = rng.integers(0, q, size=(args.batch, p.n), dtype=np.uint64)
         a_rep = ops.from_host(a)
+        print("[setup] input on device", flush=True)
         # oracle: jnp six-step on chip (itself oracle-tested vs refmodel)
         if nlimb == 1:
             w, wc, _, _ = plan.dev_r2_u32
             w_rep, wc_rep = (w,), (wc,)
         else:
             w_rep, wc_rep = plan.dev_r2_u64[0], plan.dev_r2_u64[1]
+        import time as _time
+
+        t0 = _time.time()
         want = ops.to_host(
             jax.jit(lambda x: ss.fwd_sixstep(x, ops, w_rep, wc_rep, q, strict=True))(
                 a_rep
             )
         )
+        print(f"[setup] oracle done in {_time.time() - t0:.0f}s", flush=True)
 
         n1log_old = pf.pick_split(p.n)
         n1log_new = logn - 7  # N2 = 128 lanes
@@ -282,6 +389,8 @@ def main():
         tabs_new = plan.pallas_tables(False, n1log_new, nlimb)
         tb = args.tile_b
 
+        n1d, n2d = 1 << n1log_new, p.n >> n1log_new
+        tbd = tb or (64 if nlimb == 1 else 16)
         cands = {
             "v1-64": lambda x: pf.fwd_fused(x, ops, tabs_old, q, n1log_old,
                                             strict=True),
@@ -294,6 +403,11 @@ def main():
             "v2-r4-noscr": lambda x: fwd_fused_v2(
                 x, ops, tabs_new, q, n1log_new, group=2, tile_b=tb, strict=True,
                 use_scratch=False),
+            "diag-copy": lambda x: diag_copy(x, tabs_new, n1d, n2d, tbd),
+            "diag-math": lambda x: diag_math(x, ops, tabs_new, q, logn, n1d,
+                                             n2d, tbd),
+            "diag-moves": lambda x: diag_moves(x, tabs_new, None, n1d, n2d,
+                                               tbd),
         }
         if args.only:
             keep = args.only.split(",")
@@ -303,7 +417,10 @@ def main():
         print(f"[{label}] q={q:#x} N=2^{logn} batch={args.batch}")
         for name, body in cands.items():
             try:
-                _check(name, body, a_rep, want, ops)
+                if name.startswith("diag-"):
+                    body(a_rep)  # compile + run only; not a real transform
+                else:
+                    _check(name, body, a_rep, want, ops)
             except Exception as e:
                 print(f"  {name}: FAILED ({type(e).__name__}: {e})")
                 continue
