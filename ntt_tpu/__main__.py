@@ -42,6 +42,14 @@ def cmd_correctness(args) -> int:
     from ntt_tpu.plan import get_plan
 
     fixtures = FIXTURES if args.full else [FIXTURES[i] for i in (0, 1, 2, 3, 9, 13)]
+    if args.skip is None:
+        # on TPU the real Mosaic kernels are checked like every other
+        # variant (the reference memcmps every variant it benches,
+        # tests/test_correctness.c:271-282); off-TPU the interpreter is too
+        # slow for a default sweep
+        import jax
+
+        args.skip = "" if jax.default_backend() == "tpu" else "pallas-fused,r2-16"
     skip = set(args.skip.split(",")) if args.skip else set()
     rng = np.random.default_rng(args.seed)
     failures = 0
@@ -87,9 +95,10 @@ def main() -> int:
     c.add_argument("--full", action="store_true", help="all 19 reference fixtures")
     c.add_argument("--seed", type=int, default=0)
     c.add_argument(
-        "--skip", default="pallas-fused,r2-16",
-        help="comma-separated variants to skip (default: Pallas interpreter "
-        "paths, slow off-TPU; pass --skip '' to include)",
+        "--skip", default=None,
+        help="comma-separated variants to skip (default: none on TPU; "
+        "'pallas-fused,r2-16' off-TPU where the interpreter is too slow; "
+        "pass --skip '' to include everything)",
     )
     b = sub.add_parser("bench")
     b.add_argument("rest", nargs=argparse.REMAINDER)

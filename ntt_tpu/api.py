@@ -271,7 +271,8 @@ register(
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = False):
+def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = False,
+                     group: int = 1):
     ops = U32Ops if nlimb == 1 else U64Ops
 
     def core(*flat):
@@ -279,7 +280,8 @@ def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = Fals
         w = flat[nlimb : 2 * nlimb]
         wc = flat[2 * nlimb :]
         return sixstep.fwd_sixstep(
-            a, ops, w, wc, q, n1_log, strict=not lazy, keep_transposed=keep_t
+            a, ops, w, wc, q, n1_log, strict=not lazy, keep_transposed=keep_t,
+            group=group,
         )
 
     return jax.jit(core)
@@ -287,7 +289,7 @@ def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = Fals
 
 @functools.lru_cache(maxsize=None)
 def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int,
-                     input_t: bool = False):
+                     input_t: bool = False, group: int = 1):
     ops = U32Ops if nlimb == 1 else U64Ops
 
     def core(*flat):
@@ -296,7 +298,7 @@ def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int,
         wc = flat[2 * nlimb :]
         return sixstep.inv_sixstep(
             a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1_log,
-            input_transposed=input_t,
+            input_transposed=input_t, group=group,
         )
 
     return jax.jit(core)
@@ -583,44 +585,138 @@ register(
 )
 
 
-# -- reference-parity aliases -------------------------------------------------
-# These variants exist in the reference as distinct *scheduling* of the same
-# butterfly mathematics (pointer walks, unroll factors, per-ISA twiddle
-# layouts).  On TPU those concerns belong to XLA/Mosaic, so each alias maps
-# to the framework kernel that owns the corresponding dataflow; the twiddle
-# layout builders (twiddles.expand_w_*) are retained and tested for plan
-# parity.
+# -- reference variant-family kernels ----------------------------------------
+# Each reference SIMD/scheduling family gets its own dataflow here: SEAL's
+# dwthandler operation placement, radix4x4's layers-per-materialization
+# fusion (as grouped six-step stages), and the HEXL / r2_16 kernels
+# consuming their dedicated twiddle memory layouts.
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_seal(q: int, lazy: bool):
+    fn = radix2.fwd_seal_lazy_u64 if lazy else radix2.fwd_seal_u64
+
+    def core(alo, ahi, wlo, whi, clo, chi):
+        return fn((alo, ahi), (wlo, whi), (clo, chi), q)
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_seal(q: int, n_inv_op: int, n_inv_con: int, w1: int):
+    def core(alo, ahi, wlo, whi, clo, chi):
+        return radix2.inv_seal_u64(
+            (alo, ahi), (wlo, whi), (clo, chi), n_inv_op, n_inv_con, w1, q
+        )
+
+    return jax.jit(core)
+
+
+def _seal_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    w, wc, _, _ = plan.dev_r2_u64
+    alo, ahi = mm.from_u64(a)
+    out = _jit_fwd_seal(plan.q, lazy)(alo, ahi, w[0], w[1], wc[0], wc[1])
+    return mm.to_u64(out)
+
+
+def _seal_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    _, _, wi, wic = plan.dev_r2_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_inv_seal(
+        plan.q, plan.params.n_inv, plan.n_inv_con, int(plan.w_inv[1])
+    )
+    return mm.to_u64(fn(alo, ahi, wi[0], wi[1], wic[0], wic[1]))
+
 
 register(
     Variant(
         "seal",
-        fwd=_r2_u64_fwd,
-        inv=_r2_u64_inv,
+        fwd=_seal_fwd,
+        inv=_seal_inv,
         description="SEAL dwthandler radix-2 (third_party/seal/ntt_seal.c): "
-        "identical Harvey butterflies/lazy bounds to 'radix2'; SEAL's "
-        "pointer-walk scheduling and 4x unroll are XLA's job on TPU",
+        "forward mirrors the special-cased-last-stage schedule (values "
+        "bit-identical to 'radix2'); inverse keeps SEAL's distinct final "
+        "stage (guard placement, fused scaled_r, trailing 2q->q sweep)",
     )
 )
+
+
+def _radix4x4_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    if plan.supports_u32_radix2:
+        w, wc, _, _ = plan.dev_r2_u32
+        ops, w_rep, wc_rep = U32Ops, (w,), (wc,)
+    else:
+        (wlo, whi), (clo, chi), _, _ = plan.dev_r2_u64
+        ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
+    a_rep = ops.from_host(a)
+    out = _jit_fwd_sixstep(plan.q, lazy, None, ops.nlimb, group=4)(
+        *a_rep, *w_rep, *wc_rep
+    )
+    return ops.to_host(out)
+
+
+def _radix4x4_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    word = 32 if plan.supports_u32_radix2 else 64
+    ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
+    f_tmp, f_con = radix2._final_mulop(
+        plan.params.n_inv, ninv_con, int(plan.w_inv[1]), plan.q, word
+    )
+    if plan.supports_u32_radix2:
+        _, _, wi, wic = plan.dev_r2_u32
+        ops, w_rep, wc_rep = U32Ops, (wi,), (wic,)
+    else:
+        _, _, (ilo, ihi), (iclo, ichi) = plan.dev_r2_u64
+        ops, w_rep, wc_rep = U64Ops, (ilo, ihi), (iclo, ichi)
+    fn = _jit_inv_sixstep(
+        plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, None, ops.nlimb,
+        group=4,
+    )
+    return ops.to_host(fn(*ops.from_host(a), *w_rep, *wc_rep))
+
+
 register(
     Variant(
         "radix4x4",
-        fwd=_r4_u64_fwd,
-        inv=_r4_u64_inv,
-        max_q_bits=61,  # radix-4 lazy bound 8q: needs 8q < 2^64
-        description="radix-16 cache-blocked variant (src/ntt_radix4x4.c): "
-        "same stage math as 'radix4'; the two-layers-per-residency fusion "
-        "it exists for is delivered by 'pallas-fused' on TPU (all layers "
-        "per VMEM residency); inverse is new scope",
+        fwd=_radix4x4_fwd,
+        inv=_radix4x4_inv,
+        description="radix-16 blocked variant (src/ntt_radix4x4.c:64-75): "
+        "four butterfly layers per materialization via grouped six-step "
+        "stages (one interleave per 4 stages -- the TPU form of "
+        "two-radix-4-layers-per-cache-residency); inverse is new scope",
     )
 )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_layout(q: int, lazy: bool, kind: str):
+    fn = {
+        ("hexl", False): radix2.fwd_hexl_u64,
+        ("hexl", True): radix2.fwd_hexl_lazy_u64,
+        ("r2_16", False): radix2.fwd_r2_16_u64,
+        ("r2_16", True): radix2.fwd_r2_16_lazy_u64,
+    }[(kind, lazy)]
+
+    def core(alo, ahi, tlo, thi, clo, chi):
+        return fn((alo, ahi), (tlo, thi), (clo, chi), q)
+
+    return jax.jit(core)
 
 
 def _hexl_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
     # HEXL contract (include/ntt_hexl.h:30-39): accepts inputs in [0, 4q)
-    # (input_mod_factor up to 4); output_mod_factor 1 (strict) or 4 (lazy).
-    # The radix-2 stage kernel accepts lazy inputs < 4q by construction
-    # (first-stage 4q->2q reduction), so the contract maps directly.
-    return _r2_u64_fwd(plan, a, lazy)
+    # (input_mod_factor up to 4); output_mod_factor 1 (strict) or 4 (lazy);
+    # twiddles read from the 13N/8 duplicated layout (expand_w_hexl).
+    tab, tab_con = plan.dev_hexl_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_fwd_layout(plan.q, lazy, "hexl")
+    return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
+
+
+def _r2_16_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    tab, tab_con = plan.dev_r2_16_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_fwd_layout(plan.q, lazy, "r2_16")
+    return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
 
 
 register(
@@ -628,22 +724,23 @@ register(
         "hexl",
         fwd=_hexl_fwd,
         inv=_r2_u64_inv,
-        description="Intel HEXL-contract radix-2 "
-        "(third_party/hexl/fwd-ntt-avx512.c): input_mod_factor<=4 / "
-        "output_mod_factor in {1,4} via the lazy flag; the reference port "
-        "is forward-only -- the inverse here is new scope (the radix-2 "
-        "n_inv-fused inverse); HEXL's depth-first cache recursion maps to "
-        "'pallas-fused' VMEM residency",
+        description="Intel HEXL radix-2 (third_party/hexl/fwd-ntt-avx512.c): "
+        "consumes the 13N/8 duplicated twiddle layout (expand_w_hexl) -- "
+        "the x4/x2 tail segments are read as the pre-broadcast (m, t) "
+        "views directly; input_mod_factor<=4 / output_mod_factor in {1,4} "
+        "via the lazy flag; the reference port is forward-only, the "
+        "inverse here is new scope",
     )
 )
 register(
     Variant(
         "r2-16",
-        fwd=_pallas_fwd,
-        inv=_pallas_inv,
-        description="pure radix-2 with fused last-stage tail "
-        "(src/ntt_r2_16_avx512_ifma.c): on TPU the in-register tail fusion "
-        "generalizes to the fully-fused Pallas kernel; inverse is new scope",
+        fwd=_r2_16_fwd,
+        inv=_r2_u64_inv,
+        description="pure radix-2 with fused last-stage tail tables "
+        "(src/ntt_r2_16_avx512_ifma.c): consumes the 3N expand_w_r2_16 "
+        "layout, reading the FwdT2/FwdT1 segments through the documented "
+        "inverse of their lane interleaves; inverse is new scope",
     )
 )
 

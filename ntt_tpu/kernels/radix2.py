@@ -154,6 +154,187 @@ def inv_u64(
 
 
 # ---------------------------------------------------------------------------
+# SEAL dwthandler scheduling (third_party/seal/ntt_seal.c:47-244)
+# ---------------------------------------------------------------------------
+#
+# SEAL's forward butterfly chain is value-identical to the Harvey chain
+# above (guard == reduce_4q_to_2q, mul_root == shoup_mul_q2), but its loop
+# structure special-cases the last stage (ntt_seal.c:116-124) and its
+# INVERSE differs in dataflow: the final stage guards x before the sum,
+# multiplies the sum by n_inv WITHOUT the lazy reduction, uses the fused
+# scaled_r = mul_root(w[1], n_inv) constant, and finishes with a full
+# 2q->q sweep (ntt_seal.c:200-243).  These mirrors keep SEAL's exact
+# operation placement so its lazy intermediate bounds match the original.
+
+
+def _stage_fwd_u64(a, w, w_con, m: int, t: int, q: int):
+    alo, ahi = a
+    xlo, ylo = _split(alo, m, t)
+    xhi, yhi = _split(ahi, m, t)
+    wo = (w[0][m : 2 * m].reshape(m, 1), w[1][m : 2 * m].reshape(m, 1))
+    wc = (w_con[0][m : 2 * m].reshape(m, 1), w_con[1][m : 2 * m].reshape(m, 1))
+    x1 = mm.reduce_4q_to_2q((xlo, xhi), q)
+    tt = mm.shoup_mul_q2(wo, wc, (ylo, yhi), q)
+    q2 = mm.const_u64(2 * q)
+    nx = mm.add64(x1, tt)
+    ny = mm.sub64(mm.add64(x1, q2), tt)
+    return _join(nx[0], ny[0]), _join(nx[1], ny[1])
+
+
+def fwd_seal_lazy_u64(a, w, w_con, q: int):
+    """SEAL forward (lazy, < 4q): main stages m = 1 .. N/4, then the
+    special-cased m = N/2 last stage (ntt_seal.c:66-124).  Bit-identical
+    values to fwd_lazy_u64 by construction -- the guard/mul_root ops are
+    the same lazy Harvey arithmetic."""
+    n = a[0].shape[-1]
+    m, t = 1, n >> 1
+    while m < (n >> 1):
+        a = _stage_fwd_u64(a, w, w_con, m, t, q)
+        m <<= 1
+        t >>= 1
+    return _stage_fwd_u64(a, w, w_con, n >> 1, 1, q)
+
+
+def fwd_seal_u64(a, w, w_con, q: int):
+    return mm.reduce_4q_to_q(fwd_seal_lazy_u64(a, w, w_con, q), q)
+
+
+def inv_seal_u64(a, w, w_con, n_inv_op: int, n_inv_con: int, w1_scalar: int,
+                 q: int):
+    """SEAL inverse (strict): dwthandler dataflow (ntt_seal.c:130-243).
+    Final stage: u = guard(x); x' = n_inv * guard(u + y); y' = scaled_r *
+    (u + 2q - y); then one full 2q->q sweep."""
+    alo, ahi = a
+    n = alo.shape[-1]
+    logn = n.bit_length() - 1
+    q2 = mm.const_u64(2 * q)
+    m, t = n >> 1, 1
+    for _ in range(logn - 1):
+        xlo, ylo = _split(alo, m, t)
+        xhi, yhi = _split(ahi, m, t)
+        x = (xlo, xhi)
+        y = (ylo, yhi)
+        wo = (w[0][m : 2 * m].reshape(m, 1), w[1][m : 2 * m].reshape(m, 1))
+        wc = (w_con[0][m : 2 * m].reshape(m, 1),
+              w_con[1][m : 2 * m].reshape(m, 1))
+        x1 = mm.cond_sub64(mm.add64(x, y), q2)  # guard(add(u, v))
+        ny = mm.shoup_mul_q2(wo, wc, mm.sub64(mm.add64(x, q2), y), q)
+        alo = _join(x1[0], ny[0])
+        ahi = _join(x1[1], ny[1])
+        m >>= 1
+        t <<= 1
+    # final stage with scaled_r = mul_root(w[1], n_inv) (ntt_seal.c:230-232)
+    scaled_r, scaled_r_con = _final_mulop(n_inv_op, n_inv_con, w1_scalar, q, 64)
+    x = (alo[..., :t], ahi[..., :t])
+    y = (alo[..., t:], ahi[..., t:])
+    u = mm.cond_sub64(x, q2)  # guard(*x)
+    s = mm.cond_sub64(mm.add64(u, y), q2)  # guard(add(u, v))
+    ninv = mm.const_u64(n_inv_op)
+    ninv_c = mm.const_u64(n_inv_con)
+    nx = mm.shoup_mul_q2(ninv, ninv_c, s, q)  # mul_scalar, < 2q
+    d = mm.sub64(mm.add64(u, q2), y)
+    r_lo = mm.const_u64(scaled_r_con & ((1 << 64) - 1))
+    big_q = mm.mulhi64(r_lo, d)
+    if scaled_r_con >> 64:
+        big_q = mm.add64(big_q, d)
+    ny = mm.sub64(mm.mul64_lo(mm.const_u64(scaled_r), d),
+                  mm.mul64_lo(big_q, mm.const_u64(q)))  # mul_root, < 2q
+    alo = jnp.concatenate([nx[0], ny[0]], axis=-1)
+    ahi = jnp.concatenate([nx[1], ny[1]], axis=-1)
+    # trailing full sweep (ntt_seal.c:240-243)
+    return mm.reduce_2q_to_q((alo, ahi), q)
+
+
+# ---------------------------------------------------------------------------
+# Layout-consuming radix-2 kernels: HEXL 13N/8 and r2_16 3N tables
+# ---------------------------------------------------------------------------
+#
+# The reference's SIMD kernels each pair a butterfly dataflow with a
+# bespoke twiddle memory layout (pre_compute.h:109-137, :326-367).  These
+# kernels consume those layouts directly: the duplicated tail segments ARE
+# the pre-broadcast (m, t) twiddle views the whole-stage vectorized
+# butterfly wants (the duplication factor 4/2 equals the stage's t), so
+# the broadcast is a memory read instead of an on-the-fly expand -- the
+# same memory-for-compute trade the AVX512 kernels make with their
+# LoadFwdInterleaved tables.
+
+
+def _hexl_tw_view(tab, m: int, n: int):
+    """Stage-m twiddle view of the 13N/8 HEXL table (expand_w_hexl):
+    segments [0,N/8) verbatim | x4-dup | x2-dup | [N/2,N) verbatim map to
+    stages t>=8 / t==4 / t==2 / t==1 (third_party/hexl/fwd-ntt-avx512.c:172-199)."""
+    if 2 * m <= n // 8:
+        return tab[m : 2 * m].reshape(m, 1)
+    if m == n // 8:
+        return tab[n // 8 : n // 8 + n // 2].reshape(m, 4)
+    if m == n // 4:
+        return tab[n // 8 + n // 2 : n // 8 + n].reshape(m, 2)
+    return tab[9 * n // 8 : 9 * n // 8 + n // 2].reshape(m, 1)
+
+
+# Inverses of the r2_16 table's lane interleaves (pre_compute.h:326-367):
+# FwdT2 emits groups in (0,0,2,2,1,1,3,3) order, FwdT1 in (0,4,1,5,2,6,3,7).
+_R2_16_T2_INV = np.array([0, 2, 1, 3])
+_R2_16_T1_INV = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def _r2_16_tw_view(tab, m: int, n: int):
+    """Stage-m twiddle view of the 3N r2_16 table (expand_w_r2_16): the
+    fused-tail segments are consumed through the documented inverse of
+    their lane-interleave (the analog of collect_roots walking the
+    expanded table, src/ntt_r2_16_avx512_ifma.c:8-54)."""
+    if 2 * m <= n // 8:
+        return tab[m : 2 * m].reshape(m, 1)
+    if m == n // 8:
+        return tab[n // 8 : 5 * n // 8].reshape(m, 4)
+    if m == n // 4:
+        reg = tab[5 * n // 8 : 9 * n // 8].reshape(m // 4, 4, 2)
+        return reg[:, _R2_16_T2_INV].reshape(m, 2)
+    reg = tab[9 * n // 8 : 13 * n // 8].reshape(m // 8, 8)
+    return reg[:, _R2_16_T1_INV].reshape(m, 1)
+
+
+def _fwd_lazy_u64_layout(a, tab, tab_con, q: int, tw_view):
+    """Forward lazy radix-2 chain with per-stage twiddles read through a
+    layout view function (HEXL / r2_16 table consumers)."""
+    alo, ahi = a
+    n = alo.shape[-1]
+    logn = n.bit_length() - 1
+    q2 = mm.const_u64(2 * q)
+    m, t = 1, n >> 1
+    for _ in range(logn):
+        xlo, ylo = _split(alo, m, t)
+        xhi, yhi = _split(ahi, m, t)
+        wo = (tw_view(tab[0], m, n), tw_view(tab[1], m, n))
+        wc = (tw_view(tab_con[0], m, n), tw_view(tab_con[1], m, n))
+        x1 = mm.reduce_4q_to_2q((xlo, xhi), q)
+        tt = mm.shoup_mul_q2(wo, wc, (ylo, yhi), q)
+        nx = mm.add64(x1, tt)
+        ny = mm.sub64(mm.add64(x1, q2), tt)
+        alo = _join(nx[0], ny[0])
+        ahi = _join(nx[1], ny[1])
+        m <<= 1
+        t >>= 1
+    return alo, ahi
+
+
+def fwd_hexl_lazy_u64(a, tab, tab_con, q: int):
+    return _fwd_lazy_u64_layout(a, tab, tab_con, q, _hexl_tw_view)
+
+
+def fwd_hexl_u64(a, tab, tab_con, q: int):
+    return mm.reduce_4q_to_q(fwd_hexl_lazy_u64(a, tab, tab_con, q), q)
+
+
+def fwd_r2_16_lazy_u64(a, tab, tab_con, q: int):
+    return _fwd_lazy_u64_layout(a, tab, tab_con, q, _r2_16_tw_view)
+
+
+def fwd_r2_16_u64(a, tab, tab_con, q: int):
+    return mm.reduce_4q_to_q(fwd_r2_16_lazy_u64(a, tab, tab_con, q), q)
+
+
+# ---------------------------------------------------------------------------
 # u32 single-lane path (q < 2^30, word_size=32)
 # ---------------------------------------------------------------------------
 

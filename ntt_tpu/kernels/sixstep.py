@@ -267,7 +267,8 @@ def inv_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, final_tmp, final_con,
 
 
 def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
-                strict: bool = True, keep_transposed: bool = False):
+                strict: bool = True, keep_transposed: bool = False,
+                group: int = 1):
     """Forward NTT via six-step.  a_rep: rep of shape (..., N).  Returns rep
     of shape (..., N) in standard bit-reversed output order, or -- with
     keep_transposed -- in the (N2, N1)-flattened layout (the analog of the
@@ -282,9 +283,9 @@ def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
     lead = a_rep[0].shape[:-1]
 
     a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
-    a = fwd_phase1(a, ops, w_rep, w_con_rep, q, n1, n2)
+    a = fwd_phase1(a, ops, w_rep, w_con_rep, q, n1, n2, group=group)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    a = fwd_phase2(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1)
+    a = fwd_phase2(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1, group=group)
     if strict:
         a = ops.reduce_4q_to_q(a, q)
     if not keep_transposed:
@@ -305,7 +306,8 @@ def fix_transposed_order(a, n1_log: int):
 
 def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
                 final_tmp: int, final_con: int, q: int,
-                n1_log: int | None = None, input_transposed: bool = False):
+                n1_log: int | None = None, input_transposed: bool = False,
+                group: int = 1):
     """Inverse NTT via six-step (strict output).  final_tmp/final_con are
     the host-precomputed fused constants for the last stage (see
     kernels/radix2._final_mulop).  With input_transposed, the input is in
@@ -324,10 +326,10 @@ def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
     else:
         a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    a = inv_phaseA(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1)
+    a = inv_phaseA(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1, group=group)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     a = inv_phaseB(
         a, ops, w_rep, w_con_rep, n_inv_op, n_inv_con, final_tmp, final_con,
-        q, n1, n2,
+        q, n1, n2, group=group,
     )
     return tmap(lambda l: l.reshape(lead + (n,)), a)

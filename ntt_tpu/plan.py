@@ -86,8 +86,16 @@ class NttPlan:
         return tw.expand_w_hexl(self.w)
 
     @functools.cached_property
+    def w_hexl_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_hexl, self.q, 64)
+
+    @functools.cached_property
     def w_r2_16(self) -> np.ndarray:
         return tw.expand_w_r2_16(self.w)
+
+    @functools.cached_property
+    def w_r2_16_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_r2_16, self.q, 64)
 
     def w_r4_vec(self, unordered: bool = False) -> np.ndarray:
         return tw.expand_w_r4(self.w, self.q, unordered)
@@ -139,6 +147,16 @@ class NttPlan:
             mm.from_u64(self.w_inv_r4),
             mm.from_u64(self.w_inv_r4_con),
         )
+
+    @functools.cached_property
+    def dev_hexl_u64(self):
+        """(table, table_con) of the 13N/8 HEXL layout as u32 limb pairs."""
+        return mm.from_u64(self.w_hexl), mm.from_u64(self.w_hexl_con)
+
+    @functools.cached_property
+    def dev_r2_16_u64(self):
+        """(table, table_con) of the 3N r2_16 layout as u32 limb pairs."""
+        return mm.from_u64(self.w_r2_16), mm.from_u64(self.w_r2_16_con)
 
     @functools.cached_property
     def dev_r2_u32(self):

@@ -76,23 +76,42 @@ def test_pallas_fused_u64_path_bitexact(rng):
     np.testing.assert_array_equal(api.inv_ntt(got, p, variant="pallas-fused"), a)
 
 
-def test_aliases_match_owners(rng):
-    """seal == radix2, radix4x4 == radix4, hexl(strict) == radix2(strict):
-    same kernels, documented scheduling aliases."""
-    p = FIXTURES_ALL[0]
+@pytest.mark.parametrize("variant", ["seal", "radix4x4", "hexl", "r2-16"])
+@pytest.mark.parametrize("p", [FIXTURES_ALL[0], FIXTURES_ALL[13]],
+                         ids=fixture_id)
+def test_family_variants_bitexact(variant, p, rng):
+    """The reference variant-family kernels (SEAL schedule, radix4x4
+    grouped fusion, HEXL / r2_16 layout consumers) are strict-oracle-exact
+    and round-trip exactly."""
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant=variant)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(api.inv_ntt(got, p, variant=variant), a)
+
+
+def test_seal_lazy_matches_harvey(rng):
+    """SEAL's forward guard/mul_root chain is value-identical to the lazy
+    Harvey chain (same ops, SEAL's loop schedule)."""
+    p = FIXTURES_ALL[13]
     a = make_input(rng, p.n, p.q)
     np.testing.assert_array_equal(
-        api.fwd_ntt(a, p, variant="seal"), api.fwd_ntt(a, p, variant="radix2")
+        api.fwd_ntt(a, p, variant="seal", lazy=True),
+        api.fwd_ntt(a, p, variant="radix2", lazy=True),
     )
-    np.testing.assert_array_equal(
-        api.fwd_ntt(a, p, variant="radix4x4"), api.fwd_ntt(a, p, variant="radix4")
-    )
-    np.testing.assert_array_equal(
-        api.fwd_ntt(a, p, variant="hexl"), api.fwd_ntt(a, p, variant="radix2")
-    )
-    np.testing.assert_array_equal(
-        api.inv_ntt(api.fwd_ntt(a, p, variant="seal"), p, variant="seal"), a
-    )
+
+
+def test_no_pointer_equal_variants():
+    """Every registry entry owns its forward dataflow: no two variants
+    share the same fwd callable (review finding: aliases inflated parity)."""
+    fwds = {name: v.fwd for name, v in api.variants().items()}
+    seen = {}
+    for name, fn in fwds.items():
+        assert fn not in seen.values(), (
+            f"{name} shares fwd with another variant"
+        )
+        seen[name] = fn
 
 
 def test_hexl_mod_factor_contract(rng):
@@ -165,14 +184,21 @@ def test_radix4_family_61bit_bound(rng):
 
     p61 = NttParams.generate(61, 8)
     a = make_input(rng, p61.n, p61.q)
-    for v in ("radix4", "r4r2", "radix4x4"):
+    for v in ("radix4", "r4r2"):
         f = api.fwd_ntt(a, p61, variant=v)
         np.testing.assert_array_equal(f, api.fwd_ntt(a, p61, variant="radix2"))
     p62 = NttParams.generate(62, 8)
     a62 = make_input(rng, p62.n, p62.q)
-    for v in ("radix4", "r4r2", "radix4x4"):
+    for v in ("radix4", "r4r2"):
         with pytest.raises(ValueError, match="supports q"):
             api.fwd_ntt(a62, p62, variant=v)
+    # radix4x4 fuses four radix-2 layers per materialization (no 8q-lazy
+    # arithmetic), so it keeps the full 62-bit ceiling -- new scope vs the
+    # reference's radix-4-based original
+    np.testing.assert_array_equal(
+        api.fwd_ntt(a62, p62, variant="radix4x4"),
+        api.fwd_ntt(a62, p62, variant="radix2"),
+    )
 
 
 def test_pallas_vmem_guard():

@@ -222,8 +222,198 @@ def fwd_fused_v2(a_rep, ops, tables, q, n1_log, group=2, tile_b=None,
 
 
 # ---------------------------------------------------------------------------
+# mult-lean element backends (host-presplit Shoup constants)
+# ---------------------------------------------------------------------------
+#
+# The diag decomposition showed the fused kernel is multiply-throughput
+# bound (~1 u32 mult/lane/cycle).  These backends shave the non-mult ops:
+# the Shoup constant's 16-bit halves are precomputed host-side (they are
+# table values), so mulhi32 skips the two wc splits per butterfly.
+
+MASK16 = np.uint32(0xFFFF)
+
+
+def mulhi32_presplit(c0, c1, t):
+    """hi32(c * t) with c pre-split as (c0, c1) = (c & 0xffff, c >> 16)."""
+    t0 = t & MASK16
+    t1 = t >> 16
+    p00 = c0 * t0
+    p01 = c0 * t1
+    p10 = c1 * t0
+    mid = (p00 >> 16) + (p01 & MASK16) + (p10 & MASK16)
+    return c1 * t1 + (p01 >> 16) + (p10 >> 16) + (mid >> 16)
+
+
+class U32FastOps:
+    """Single-limb ops, twiddle rep = (w, wc_lo16, wc_hi16)."""
+
+    nlimb = 1
+    tw_parts = 3
+
+    @staticmethod
+    def fwd_bfly(x, y, wo, wc3, q):
+        x1 = jnp.where(x[0] < np.uint32(2 * q), x[0], x[0] - np.uint32(2 * q))
+        big_q = mulhi32_presplit(wc3[0], wc3[1], y[0])
+        t = wo[0] * y[0] - big_q * np.uint32(q)
+        return (x1 + t,), (x1 + np.uint32(2 * q) - t,)
+
+    reduce_4q_to_q = U32Ops.reduce_4q_to_q
+
+
+# ---------------------------------------------------------------------------
+# kernel v3: Stockham constant geometry
+# ---------------------------------------------------------------------------
+#
+# Every stage pairs the contiguous top/bottom halves of the row axis
+# (aligned full-vreg slices), butterflies at full width, then does ONE
+# stride-1 row interleave (stack axis=2).  Derivation: with work->logical
+# row map logical = ror(w, s) after s stages, the (w, w + n1/2) pairing
+# always hits logical rows differing in bit (logn1-1-s), and the twiddle
+# for pair i at stage s is w[2^s + (i mod 2^s)] -- a periodic slab.  After
+# logn1 stages ror composes to identity: output is ALREADY in standard
+# order.  No strided views, no sub-8-sublane slices anywhere.
+
+
+def stockham_col_stack(w_u64: np.ndarray, n1: int, n2: int) -> np.ndarray:
+    """(logn1, n1//2, n2): slab s row i holds w[2^s + (i mod 2^s)]."""
+    logn1 = n1.bit_length() - 1
+    out = np.zeros((logn1, n1 // 2, n2), dtype=np.uint64)
+    for s in range(logn1):
+        m = 1 << s
+        vals = np.tile(w_u64[m : 2 * m], (n1 // 2) // m)
+        out[s] = vals[:, None]
+    return out
+
+
+def stockham_row_stack(w_u64: np.ndarray, n1: int, n2: int) -> np.ndarray:
+    """(logn2, n2//2, n1): slab s at (i, c) holds
+    w[2^s*n1 + c*2^s + (i mod 2^s)] (the global-table row twiddles in
+    constant-geometry order)."""
+    logn2 = n2.bit_length() - 1
+    out = np.zeros((logn2, n2 // 2, n1), dtype=np.uint64)
+    for s in range(logn2):
+        m = 1 << s
+        tw = w_u64[m * n1 : 2 * m * n1].reshape(n1, m).T  # (m, n1)
+        out[s] = np.tile(tw, ((n2 // 2) // m, 1))
+    return out
+
+
+def build_tables_v3(w_u64, wc_u64, n1: int, n2: int, nlimb: int):
+    ctw = pf._split_limbs(stockham_col_stack(w_u64, n1, n2), nlimb)
+    ctwc = pf._split_limbs(stockham_col_stack(wc_u64, n1, n2), nlimb)
+    rtw = pf._split_limbs(stockham_row_stack(w_u64, n1, n2), nlimb)
+    rtwc = pf._split_limbs(stockham_row_stack(wc_u64, n1, n2), nlimb)
+    return ctw + ctwc + rtw + rtwc
+
+
+def _v3_phase(v, tws, twcs, n_axis, lanes, tile_b, bfly):
+    logn = n_axis.bit_length() - 1
+    half = n_axis // 2
+    for s in range(logn):
+        x = tmap(lambda l: l[:, :half], v)
+        y = tmap(lambda l: l[:, half:], v)
+        wo = tuple(r[s] for r in tws)
+        wc = tuple(r[s] for r in twcs)
+        nx, ny = bfly(x, y, wo, wc)
+        v = tmap(
+            lambda a, b: jnp.stack([a, b], axis=2).reshape(tile_b, n_axis,
+                                                           lanes),
+            nx, ny,
+        )
+    return v
+
+
+def _fwd_kernel_v3(ops, q, n1, n2, strict, keep_t, nlimb, refs):
+    a_refs = refs[:nlimb]
+    ctw = refs[nlimb : 2 * nlimb]
+    ctwc = refs[2 * nlimb : 3 * nlimb]
+    rtw = refs[3 * nlimb : 4 * nlimb]
+    rtwc = refs[4 * nlimb : 5 * nlimb]
+    o_refs = refs[5 * nlimb :]
+    tile_b = a_refs[0].shape[0]
+    bfly = lambda x, y, wo, wc: ops.fwd_bfly(x, y, wo, wc, q)
+
+    ctw_v = tuple(r[...] for r in ctw)
+    ctwc_v = tuple(r[...] for r in ctwc)
+    rtw_v = tuple(r[...] for r in rtw)
+    rtwc_v = tuple(r[...] for r in rtwc)
+
+    v = tuple(r[...] for r in a_refs)
+    v = _v3_phase(v, ctw_v, ctwc_v, n1, n2, tile_b, bfly)
+    v = tmap(lambda l: jnp.swapaxes(l, -1, -2), v)
+    v = _v3_phase(v, rtw_v, rtwc_v, n2, n1, tile_b, bfly)
+    if strict:
+        v = ops.reduce_4q_to_q(v, q)
+    if not keep_t:
+        v = tmap(lambda l: jnp.swapaxes(l, -1, -2), v)
+    for o, l in zip(o_refs, v):
+        o[...] = l
+
+
+def fwd_fused_v3(a_rep, ops, tables, q, n1_log, tile_b=None, strict=True,
+                 keep_transposed=False, interpret=False):
+    n = a_rep[0].shape[-1]
+    logn = n.bit_length() - 1
+    n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
+    nlimb = len(a_rep)
+    lead = a_rep[0].shape[:-1]
+    batch = int(np.prod(lead)) if lead else 1
+    if tile_b is None:
+        tile_b = 64 if nlimb == 1 else 16
+    tile_b = min(tile_b, max(8, batch))
+    a3 = tuple(l.reshape(batch, n1, n2) for l in a_rep)
+    pad = (-batch) % tile_b
+    if pad:
+        a3 = tuple(jnp.pad(l, ((0, pad), (0, 0), (0, 0))) for l in a3)
+    padded = batch + pad
+
+    in_spec = pl.BlockSpec((tile_b, n1, n2), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out3 = (tile_b, n2, n1) if keep_transposed else (tile_b, n1, n2)
+    out_spec = pl.BlockSpec(out3, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    tab_specs = [
+        pl.BlockSpec(t.shape, functools.partial(lambda r, i: (0,) * r,
+                                                len(t.shape)),
+                     memory_space=pltpu.VMEM)
+        for t in tables
+    ]
+    kernel = functools.partial(_fwd_kernel_v3, ops, q, n1, n2, strict,
+                               keep_transposed, nlimb)
+    out = pl.pallas_call(
+        lambda *refs: kernel(refs),
+        grid=(padded // tile_b,),
+        in_specs=[in_spec] * nlimb + tab_specs,
+        out_specs=tuple([out_spec] * nlimb),
+        out_shape=tuple(jax.ShapeDtypeStruct((padded,) + out3[1:], jnp.uint32)
+                        for _ in range(nlimb)),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * (1 << 20)),
+    )(*a3, *tables)
+    if pad:
+        out = tuple(l[:batch] for l in out)
+    return tuple(l.reshape(lead + (n,)) for l in out)
+
+
+# ---------------------------------------------------------------------------
 # diagnostic kernels: decompose the fused transform's cost
 # ---------------------------------------------------------------------------
+
+
+def diag_mul(a_rep, tables, n_mults, n1, n2, tile_b):
+    """Pure u32 multiply throughput: n_mults chained multiplies per element."""
+    nlimb = len(a_rep)
+
+    def kernel(*refs):
+        a_refs = refs[:nlimb]
+        o_refs = refs[-nlimb:]
+        v = tuple(r[...] for r in a_refs)
+        c = np.uint32(0x9E3779B1)
+        for _ in range(n_mults):
+            v = tmap(lambda l: l * c + np.uint32(1), v)
+        for o, l in zip(o_refs, v):
+            o[...] = l
+
+    return _diag_call(kernel, a_rep, tables, n1, n2, tile_b)
 
 
 def _diag_call(kernel, a_rep, tables, n1, n2, tile_b, extra_rounds=0):
@@ -408,7 +598,16 @@ def main():
                                              n2d, tbd),
             "diag-moves": lambda x: diag_moves(x, tabs_new, None, n1d, n2d,
                                                tbd),
+            "diag-mul": lambda x: diag_mul(x, tabs_new, 42, n1d, n2d, tbd),
         }
+        tabs_v3 = None
+        if nlimb == 1:
+            wsrc, wcsrc = plan.w, plan.w_con32
+        else:
+            wsrc, wcsrc = plan.w, plan.w_con
+        tabs_v3 = build_tables_v3(wsrc, wcsrc, n1d, n2d, nlimb)
+        cands["v3"] = lambda x: fwd_fused_v3(x, ops, tabs_v3, q, n1log_new,
+                                             tile_b=tb, strict=True)
         if args.only:
             keep = args.only.split(",")
             cands = {k: v for k, v in cands.items() if k in keep}
