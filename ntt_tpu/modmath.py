@@ -156,6 +156,58 @@ def mulhi64(a: U64Pair, b: U64Pair) -> U64Pair:
     return p2, p3
 
 
+def mulhi64_kara(a: U64Pair, b: U64Pair) -> U64Pair:
+    """mulhi64 via Karatsuba on the 32-bit limbs: 3 full 32x32 products
+    (12 native multiplies) instead of schoolbook's 4 (16), at the price of
+    a longer add/borrow chain.  The 33-bit limb sums are carried as
+    (u32, carry-bit) pairs so every multiply stays a 32x32 one.
+
+    product = ll + (lh + hl)*2^32 + hh*2^64 with
+    lh + hl = (a0+a1)(b0+b1) - ll - hh; then
+    hi64 = hh + ((m + ll_hi) >> 32).  Bit-exact with mulhi64 (property
+    tested); used by the Shoup multiply where multiply issue rate is the
+    VPU bottleneck."""
+    a0, a1 = a
+    b0, b1 = b
+    ll_lo, ll_hi = mul32_full(a0, b0)
+    hh_lo, hh_hi = mul32_full(a1, b1)
+    sa = a0 + a1
+    ca = sa < a0
+    sb = b0 + b1
+    cb = sb < b0
+    sp_lo, sp_hi = mul32_full(sa, sb)
+    # P = (a0+a1)(b0+b1) as 3 limbs (p0, p1, p2)
+    zero = jnp.zeros_like(sp_hi)
+    add_a = jnp.where(ca, sb, zero)
+    add_b = jnp.where(cb, sa, zero)
+    t1 = sp_hi + add_a
+    c1 = (t1 < sp_hi).astype(U32)
+    p1 = t1 + add_b
+    c2 = (p1 < t1).astype(U32)
+    p2 = (ca & cb).astype(U32) + c1 + c2
+    # S = ll + hh as 3 limbs
+    s0 = ll_lo + hh_lo
+    cs0 = (s0 < ll_lo).astype(U32)
+    s1a = ll_hi + hh_hi
+    cs1a = (s1a < ll_hi).astype(U32)
+    s1 = s1a + cs0
+    cs1b = (s1 < s1a).astype(U32)
+    s2 = cs1a + cs1b
+    # m = P - S  (= lh + hl, fits 65 bits)
+    m0 = sp_lo - s0
+    bw0 = (sp_lo < s0).astype(U32)
+    m1 = p1 - s1 - bw0
+    bw1 = ((p1 < s1) | ((p1 == s1) & (bw0 > 0))).astype(U32)
+    m2 = p2 - s2 - bw1
+    # hi64 = hh + ((m + ll_hi) >> 32)
+    t0 = m0 + ll_hi
+    c0 = (t0 < m0).astype(U32)
+    r_lo = m1 + c0
+    cr = (r_lo < m1).astype(U32)
+    r_hi = m2 + cr
+    return add64((hh_lo, hh_hi), (r_lo, r_hi))
+
+
 def add128(a4, b4):
     """Sum of two 128-bit 4-limb values, wrapping mod 2^128."""
     r0 = a4[0] + b4[0]

@@ -67,6 +67,16 @@ def test_add_sub_mul64(pairs):
     )
 
 
+def test_mulhi64_kara(pairs):
+    """Karatsuba mulhi64 (12 multiplies) == schoolbook mulhi64 == big-int."""
+    a, b = pairs
+    pa, pb = mm.from_u64(a), mm.from_u64(b)
+    np.testing.assert_array_equal(
+        mm.to_u64(mm.mulhi64_kara(pa, pb)).astype(object),
+        (a.astype(object) * b.astype(object)) >> 64,
+    )
+
+
 def test_mul64_full(pairs):
     a, b = pairs
     pa, pb = mm.from_u64(a), mm.from_u64(b)

@@ -46,6 +46,8 @@ def main():
     ap.add_argument("--groups", default="1,2,3,4")
     ap.add_argument("--n1-log", type=int, default=None)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--kara", action="store_true",
+                    help="also measure the Karatsuba mulhi64 (u64 only)")
     args = ap.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu")
@@ -78,17 +80,29 @@ def main():
             jax.jit(lambda x: ss.fwd_sixstep(x, ops, w_rep, wc_rep, q,
                                              strict=True))(a_rep)
         )
-        for g in [int(x) for x in args.groups.split(",")]:
-            def body(x, g=g):
-                return fwd_grouped(x, ops, w_rep, wc_rep, q, p.n, n1_log, g,
-                                   args.batch)
+        import ntt_tpu.modmath as mm_mod
 
-            got = ops.to_host(jax.jit(body)(a_rep))
-            ok = np.array_equal(got, want)
-            sec = _measure_loop(body, a_rep, reps=args.reps, k1=2, k2=52)
-            print(f"  group={g}: {'exact' if ok else 'MISMATCH'} "
-                  f"{sec / args.batch * 1e6:8.3f} us/t "
-                  f"({args.batch / sec:12,.0f} tps)", flush=True)
+        schoolbook = mm_mod.mulhi64
+        muls = [("", schoolbook)]
+        if nlimb == 2 and args.kara:
+            muls.append(("+kara", mm_mod.mulhi64_kara))
+        for g in [int(x) for x in args.groups.split(",")]:
+            for tag, impl in muls:
+                mm_mod.mulhi64 = impl
+                try:
+                    def body(x, g=g):
+                        return fwd_grouped(x, ops, w_rep, wc_rep, q, p.n,
+                                           n1_log, g, args.batch)
+
+                    got = ops.to_host(jax.jit(body)(a_rep))
+                    ok = np.array_equal(got, want)
+                    sec = _measure_loop(body, a_rep, reps=args.reps, k1=2,
+                                        k2=52)
+                    print(f"  group={g}{tag}: {'exact' if ok else 'MISMATCH'} "
+                          f"{sec / args.batch * 1e6:8.3f} us/t "
+                          f"({args.batch / sec:12,.0f} tps)", flush=True)
+                finally:
+                    mm_mod.mulhi64 = schoolbook
 
 
 if __name__ == "__main__":
