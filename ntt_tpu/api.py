@@ -272,7 +272,7 @@ register(
 
 @functools.lru_cache(maxsize=None)
 def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = False,
-                     group: int = 1):
+                     group: int | None = None):
     ops = U32Ops if nlimb == 1 else U64Ops
 
     def core(*flat):
@@ -289,7 +289,7 @@ def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = Fals
 
 @functools.lru_cache(maxsize=None)
 def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int,
-                     input_t: bool = False, group: int = 1):
+                     input_t: bool = False, group: int | None = None):
     ops = U32Ops if nlimb == 1 else U64Ops
 
     def core(*flat):

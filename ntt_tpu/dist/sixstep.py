@@ -88,6 +88,8 @@ def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
     rows as (D, N1/D) and cut the inner axis); chunk c then lands on
     contiguous global columns my_col0 + [c*cpc, (c+1)*cpc)."""
 
+    group = sixstep.default_group(ops.nlimb)
+
     def transpose_and_rows(chunk, col0, ncols):
         chunk = tmap(
             lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
@@ -95,10 +97,8 @@ def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
             chunk,
         )
         chunk = tmap(lambda l: jnp.swapaxes(l, -1, -2), chunk)
-        out = sixstep.fwd_phase2(chunk, ops, w, wc, q, n1, n2, col0, ncols)
-        if strict:
-            out = ops.reduce_4q_to_q(out, q)
-        return out
+        return sixstep.fwd_phase2(chunk, ops, w, wc, q, n1, n2, col0, ncols,
+                                  group=group, strict=strict)
 
     my_col0 = lax.axis_index(axis) * (n1 // ndev)
     if n_chunks == 1:
@@ -131,6 +131,8 @@ def _inv_collect_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con,
     axis -- a chunk slices the inner axis of the N2 dim viewed (D, N2/D),
     landing on contiguous local output lanes [c*cpc, (c+1)*cpc)."""
 
+    group = sixstep.default_group(ops.nlimb)
+
     def collect_and_cols(chunk):
         chunk = tmap(
             lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 1,
@@ -139,7 +141,7 @@ def _inv_collect_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con,
         )
         return sixstep.inv_phaseB(
             chunk, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1,
-            chunk[0].shape[-1],
+            chunk[0].shape[-1], group=group,
         )
 
     if n_chunks == 1:
@@ -177,7 +179,8 @@ def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         a = flat[:nlimb]  # local (..., N1, N2/D)
         w = flat[nlimb : 2 * nlimb]
         wc = flat[2 * nlimb :]
-        a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev)
+        a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev,
+                               group=sixstep.default_group(ops.nlimb))
         a = _fwd_transpose_rows(a, ops, w, wc, q, n1, n2, ndev, axis,
                                 n_chunks, strict)
         return tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
@@ -213,7 +216,8 @@ def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         wc = flat[2 * nlimb :]
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N2, N1/D)
         col0 = lax.axis_index(axis) * (n1 // ndev)
-        a = sixstep.inv_phaseA(a, ops, w, wc, q, n1, n2, col0, n1 // ndev)
+        a = sixstep.inv_phaseA(a, ops, w, wc, q, n1, n2, col0, n1 // ndev,
+                               group=sixstep.default_group(ops.nlimb))
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
         return _inv_collect_phaseB(
             a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1, n2,
@@ -312,7 +316,8 @@ def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         """Forward phases, output LEFT in the transposed (..., N2, N1/D)
         layout -- pointwise products don't care about coefficient order
         (the unordered contract, at the distributed level)."""
-        a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev)
+        a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev,
+                               group=sixstep.default_group(ops.nlimb))
         return _fwd_transpose_rows(a, ops, w, wc, q, n1, n2, ndev, axis,
                                    n_chunks, strict=True)
 
@@ -327,7 +332,9 @@ def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         # inverse starts exactly where the forward left off: phaseA consumes
         # the transposed layout directly (no transpose, no collective here)
         col0 = lax.axis_index(axis) * (n1 // ndev)
-        fc = sixstep.inv_phaseA(fc, ops, wi, wic, q, n1, n2, col0, n1 // ndev)
+        fc = sixstep.inv_phaseA(fc, ops, wi, wic, q, n1, n2, col0,
+                                n1 // ndev,
+                                group=sixstep.default_group(ops.nlimb))
         fc = tmap(lambda l: jnp.swapaxes(l, -1, -2), fc)
         return _inv_collect_phaseB(
             fc, ops, wi, wic, n_inv_op, n_inv_con, f_tmp, f_con, q, n1, n2,

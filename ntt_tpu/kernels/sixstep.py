@@ -59,14 +59,27 @@ def default_split(n: int, min_lanes: int = 128) -> int:
     return max(1, min(n1, logn - 1))
 
 
-def _stage_axis1(a_rep, m: int, t: int, lanes: int, bfly):
-    """One butterfly stage along the second-to-last axis of (..., M, L)."""
+def default_group(nlimb: int) -> int:
+    """Measured stage-grouping default (v5e, tools/group_sweep, N=2^14
+    batch 512): the u64 path is HBM-per-stage bound and gains 17% from two
+    butterfly layers per interleave (6.42 vs 7.73 us/t); the u32 path is
+    multiply-issue bound and prefers single stages (1.09 vs 1.11).
+    Larger groups lose on both (XLA codegen degrades: u64 g=3 20.8)."""
+    return 2 if nlimb == 2 else 1
+
+
+def _stage_axis1(a_rep, m: int, t: int, lanes: int, bfly, post=None):
+    """One butterfly stage along the second-to-last axis of (..., M, L).
+    `post` (e.g. the strict 4q->q reduction) is applied to the outputs
+    BEFORE the interleave so it fuses into the same materialization."""
     lead = a_rep[0].shape[:-2]
     shape = lead + (m, 2, t, lanes)
     v = tmap(lambda l: l.reshape(shape), a_rep)
     x = tmap(lambda l: l[..., 0, :, :], v)
     y = tmap(lambda l: l[..., 1, :, :], v)
     nx, ny = bfly(x, y)
+    if post is not None:
+        nx, ny = post(nx), post(ny)
     return tmap(
         lambda xl, yl: jnp.stack([xl, yl], axis=-3).reshape(lead + (2 * m * t, lanes)),
         nx,
@@ -75,7 +88,7 @@ def _stage_axis1(a_rep, m: int, t: int, lanes: int, bfly):
 
 
 def _stage_group_axis1(a_rep, g: int, m: int, tg: int, lanes: int, bfly_at,
-                       reverse: bool = False):
+                       reverse: bool = False, post=None):
     """g consecutive butterfly stages with ONE interleave (the XLA analog of
     the reference's layers-per-residency fusion, src/ntt_radix4x4.c:64-75).
 
@@ -102,6 +115,8 @@ def _stage_group_axis1(a_rep, g: int, m: int, tg: int, lanes: int, bfly_at,
                 continue
             c2 = c | (1 << pb)
             xs[c], xs[c2] = bfly_at(L, c >> (pb + 1), xs[c], xs[c2])
+    if post is not None:
+        xs = [post(x) for x in xs]
     per_limb = list(zip(*xs))  # [limb][slice]
     return tuple(
         jnp.stack(ls, axis=-3).reshape(lead + (m * (1 << g) * tg, lanes))
@@ -184,26 +199,34 @@ def fwd_phase1(a, ops, w, wc, q: int, n1_size: int, lanes: int,
 
 
 def fwd_phase2(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
-               col0, ncols: int, group: int = 1):
+               col0, ncols: int, group: int = 1, strict: bool = False):
     """Forward row stages on the transposed view (..., N2, ncols), where
-    ncols is the local slice of the N1 axis starting at global column col0."""
+    ncols is the local slice of the N1 axis starting at global column col0.
+    With strict, the final 4q->q reduction is folded into the last stage
+    (no extra materialization pass)."""
     logn2 = n2_size.bit_length() - 1
+    if logn2 == 0:
+        return ops.reduce_4q_to_q(a, q) if strict else a
     s = 0
     while s < logn2:
         g = min(group, logn2 - s)
         m2, tg = 1 << s, n2_size >> (s + g)
+        last = s + g >= logn2
+        post = (lambda rep: ops.reduce_4q_to_q(rep, q)) if (strict and last) \
+            else None
         if g == 1:
             wo = _row_tw(w, m2, n1_size, col0, ncols)
             wco = _row_tw(wc, m2, n1_size, col0, ncols)
             a = _stage_axis1(a, m2, tg, ncols,
-                             lambda x, y: ops.fwd_bfly(x, y, wo, wco, q))
+                             lambda x, y: ops.fwd_bfly(x, y, wo, wco, q),
+                             post=post)
         else:
             def bfly_at(L, c_high, x, y, m2=m2):
                 wo = _row_tw_at(w, m2, L, c_high, n1_size, col0, ncols)
                 wco = _row_tw_at(wc, m2, L, c_high, n1_size, col0, ncols)
                 return ops.fwd_bfly(x, y, wo, wco, q)
 
-            a = _stage_group_axis1(a, g, m2, tg, ncols, bfly_at)
+            a = _stage_group_axis1(a, g, m2, tg, ncols, bfly_at, post=post)
         s += g
     return a
 
@@ -268,7 +291,7 @@ def inv_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, final_tmp, final_con,
 
 def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
                 strict: bool = True, keep_transposed: bool = False,
-                group: int = 1):
+                group: int | None = None):
     """Forward NTT via six-step.  a_rep: rep of shape (..., N).  Returns rep
     of shape (..., N) in standard bit-reversed output order, or -- with
     keep_transposed -- in the (N2, N1)-flattened layout (the analog of the
@@ -279,15 +302,16 @@ def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
     logn = n.bit_length() - 1
     if n1_log is None:
         n1_log = default_split(n)
+    if group is None:
+        group = default_group(ops.nlimb)
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
     lead = a_rep[0].shape[:-1]
 
     a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
     a = fwd_phase1(a, ops, w_rep, w_con_rep, q, n1, n2, group=group)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    a = fwd_phase2(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1, group=group)
-    if strict:
-        a = ops.reduce_4q_to_q(a, q)
+    a = fwd_phase2(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1, group=group,
+                   strict=strict)
     if not keep_transposed:
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     return tmap(lambda l: l.reshape(lead + (n,)), a)
@@ -307,7 +331,7 @@ def fix_transposed_order(a, n1_log: int):
 def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
                 final_tmp: int, final_con: int, q: int,
                 n1_log: int | None = None, input_transposed: bool = False,
-                group: int = 1):
+                group: int | None = None):
     """Inverse NTT via six-step (strict output).  final_tmp/final_con are
     the host-precomputed fused constants for the last stage (see
     kernels/radix2._final_mulop).  With input_transposed, the input is in
@@ -318,6 +342,8 @@ def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
     logn = n.bit_length() - 1
     if n1_log is None:
         n1_log = default_split(n)
+    if group is None:
+        group = default_group(ops.nlimb)
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
     lead = a_rep[0].shape[:-1]
 

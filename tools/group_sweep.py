@@ -32,8 +32,8 @@ def fwd_grouped(a_rep, ops, w_rep, wc_rep, q, n, n1_log, group, batch):
     a = tmap(lambda l: l.reshape((batch, n1, n2)), a_rep)
     a = ss.fwd_phase1(a, ops, w_rep, wc_rep, q, n1, n2, group=group)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    a = ss.fwd_phase2(a, ops, w_rep, wc_rep, q, n1, n2, 0, n1, group=group)
-    a = ops.reduce_4q_to_q(a, q)
+    a = ss.fwd_phase2(a, ops, w_rep, wc_rep, q, n1, n2, 0, n1, group=group,
+                      strict=True)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     return tmap(lambda l: l.reshape((batch, n)), a)
 

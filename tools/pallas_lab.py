@@ -593,6 +593,9 @@ def main():
             "v2-r4-noscr": lambda x: fwd_fused_v2(
                 x, ops, tabs_new, q, n1log_new, group=2, tile_b=tb, strict=True,
                 use_scratch=False),
+            "v2-r2-noscr": lambda x: fwd_fused_v2(
+                x, ops, tabs_new, q, n1log_new, group=1, tile_b=tb, strict=True,
+                use_scratch=False),
             "diag-copy": lambda x: diag_copy(x, tabs_new, n1d, n2d, tbd),
             "diag-math": lambda x: diag_math(x, ops, tabs_new, q, logn, n1d,
                                              n2d, tbd),
