@@ -412,6 +412,8 @@ def output_layout(variant: str, params_or_plan):
     plan = _resolve(params_or_plan)
     if variant == "sixstep-unordered":
         return layouts.transposed(plan.n, sixstep.default_split(plan.n))
+    if variant == "radix4-vec-unordered":
+        return layouts.radix4_vec_unordered(plan.n)
     return layouts.standard(plan.n)
 
 
@@ -719,6 +721,56 @@ def _r2_16_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
     return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_r4_vec(q: int, lazy: bool, unordered: bool):
+    fn = radix4.fwd_vec_lazy_u64 if lazy else radix4.fwd_vec_u64
+
+    def core(alo, ahi, tlo, thi, clo, chi):
+        return fn((alo, ahi), (tlo, thi), (clo, chi), q, unordered)
+
+    return jax.jit(core)
+
+
+def _r4_vec_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    tab, tab_con = plan.dev_r4_vec_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_fwd_r4_vec(plan.q, lazy, False)
+    return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
+
+
+def _r4_vec_unord_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    tab, tab_con = plan.dev_r4_vec_unord_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_fwd_r4_vec(plan.q, lazy, True)
+    return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
+
+
+register(
+    Variant(
+        "radix4-vec",
+        fwd=_r4_vec_fwd,
+        inv=_r4_u64_inv,
+        max_q_bits=61,
+        description="radix-4 over the 5N vector twiddle layout "
+        "(src/ntt_radix4_avx512_ifma.c): leading radix-2 stage for odd "
+        "log2 N, quintuples walked off the FWD8/FWD4/FWD1 regions of "
+        "expand_w_r4 in emission order; inverse is new scope (reference "
+        "is forward-only)",
+    )
+)
+register(
+    Variant(
+        "radix4-vec-unordered",
+        fwd=_r4_vec_unord_fwd,
+        inv=None,
+        max_q_bits=61,
+        description="radix4-vec with the lane-permuted FWD1 region of "
+        "expand_w_r4(unordered=True): the final stage processes groups in "
+        "the table's (0,4,1,5,2,6,3,7) order and stores linearly; output "
+        "layout = layouts.radix4_vec_unordered (fix_a_order analog, "
+        "src/ntt_radix4_avx512_ifma_unordered.c)",
+    )
+)
 register(
     Variant(
         "hexl",

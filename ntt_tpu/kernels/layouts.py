@@ -54,6 +54,21 @@ def standard(n: int) -> Layout:
     return Layout("standard", n, np.arange(n))
 
 
+def radix4_vec_unordered(n: int) -> Layout:
+    """The radix4-vec unordered output order: the final t==1 radix-4 stage
+    processes its 4-element groups in the table's (0,4,1,5,2,6,3,7) lane
+    order per 8-group block and stores linearly
+    (src/ntt_radix4_avx512_ifma_unordered.c:69-84).  Standard group g of
+    block b sits at slot argsort(perm)[g mod 8]."""
+    lane_perm = np.array([0, 4, 1, 5, 2, 6, 3, 7])
+    slot_of = np.argsort(lane_perm)  # inverse permutation
+    r = np.arange(n)
+    g, c = r >> 2, r & 3
+    b, j = g >> 3, g & 7
+    pos = 4 * ((b << 3) + slot_of[j]) + c
+    return Layout("radix4-vec-unordered", n, pos)
+
+
 def transposed(n: int, n1_log: int) -> Layout:
     """The six-step keep_transposed layout: output flattened as (N2, N1)
     instead of (N1, N2).  standard[c1*N2 + c2] == out[c2*N1 + c1]."""

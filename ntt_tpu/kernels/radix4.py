@@ -195,6 +195,130 @@ def inv_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair,
 
 
 # ---------------------------------------------------------------------------
+# Vector-layout radix-4 kernel: consumes the 5N expand_w_r4 table
+# (src/ntt_radix4_avx512_ifma.c:132-193 + pre_compute.h:154-251)
+# ---------------------------------------------------------------------------
+#
+# The IFMA kernel's stage plan: a LEADING radix-2 stage when log2 N is odd
+# (:146-162), then radix-4 stages whose quintuples are walked off the 5N
+# expanded table in emission order -- FWD8 flat quintuple runs (t >= 8),
+# the FWD4 10-entry two-pair groups (t == 4), and the FWD1 5x8-lane blocks
+# (t == 1), optionally lane-permuted for the unordered variant whose
+# outputs stay in the permuted group order (fix_a_order's job,
+# tests/test_correctness.c:179-209 -> layouts.radix4_vec_unordered).
+
+
+def _r4_vec_offsets(n: int) -> dict:
+    """Per-stage (region kind, table offset) map of expand_w_r4's emission
+    (mirrors twiddles.expand_w_r4; requires n >= 256)."""
+    logn = n.bit_length() - 1
+    even = logn % 2 == 0
+    out = {}
+    if even:
+        idx, m, w_idx = 1, 1, 1
+    else:
+        idx, m, w_idx = 2, 2, 2  # out[1] = leading radix-2 twiddle
+    while w_idx < (n >> 5):
+        out[m] = ("fwd8", idx)
+        idx += 5 * m
+        w_idx = 4 * m
+        m <<= 2
+    out[m] = ("fwd4", idx)
+    idx += 5 * m
+    idx = ((idx >> 3) << 3) + 8
+    m <<= 2
+    out[m] = ("fwd1", idx)
+    return out
+
+
+def _r4_vec_w5(tab, tab_con, kind: str, idx0: int, m: int):
+    """The five (m, 1) twiddle columns of one stage, read from the 5N
+    table's region in its native layout."""
+
+    def cols(arr):
+        if kind == "fwd8":
+            v = arr[idx0 : idx0 + 5 * m].reshape(m, 5)
+            return [v[:, k].reshape(m, 1) for k in range(5)]
+        if kind == "fwd4":
+            v = arr[idx0 : idx0 + 5 * m].reshape(m // 2, 5, 2)
+            return [v[:, k, :].reshape(m, 1) for k in range(5)]
+        v = arr[idx0 : idx0 + 5 * m].reshape(m // 8, 5, 8)
+        return [v[:, k, :].reshape(m, 1) for k in range(5)]
+
+    wo = [cols(tab[0]), cols(tab[1])]
+    wc = [cols(tab_con[0]), cols(tab_con[1])]
+    return [
+        (
+            ((wo[0][k], wo[1][k])),
+            ((wc[0][k], wc[1][k])),
+        )
+        for k in range(5)
+    ]
+
+
+_VEC_LANE_PERM = np.array([0, 4, 1, 5, 2, 6, 3, 7])
+
+
+def fwd_vec_lazy_u64(a: mm.U64Pair, tab: mm.U64Pair, tab_con: mm.U64Pair,
+                     q: int, unordered: bool = False):
+    """Forward lazy radix-4 over the 5N vec table; output < 8q.  With
+    unordered, the t == 1 stage processes its groups in the table's
+    permuted lane order and stores linearly (the unordered contract)."""
+    alo, ahi = a
+    n = alo.shape[-1]
+    lead = alo.shape[:-1]
+    logn = n.bit_length() - 1
+    assert n >= 256, "radix4-vec needs n >= 256 (FWD8/FWD4/FWD1 regions)"
+    even = logn % 2 == 0
+    if not even:
+        # leading radix-2 stage (m = 1): pairs (i, i + n/2), twiddle tab[1]
+        h = n >> 1
+        x = (alo[..., :h], ahi[..., :h])
+        y = (alo[..., h:], ahi[..., h:])
+        wo = (tab[0][1:2], tab[1][1:2])
+        wc = (tab_con[0][1:2], tab_con[1][1:2])
+        x1 = mm.reduce_4q_to_2q(x, q)
+        tt = mm.shoup_mul_q2(wo, wc, y, q)
+        q2 = mm.const_u64(2 * q)
+        nx = mm.add64(x1, tt)
+        ny = mm.sub64(mm.add64(x1, q2), tt)
+        alo = jnp.concatenate([nx[0], ny[0]], axis=-1)
+        ahi = jnp.concatenate([nx[1], ny[1]], axis=-1)
+        m, t = 2, n >> 3
+    else:
+        m, t = 1, n >> 2
+    offsets = _r4_vec_offsets(n)
+    while m <= n >> 2:
+        kind, idx0 = offsets[m]
+        w5 = _r4_vec_w5(tab, tab_con, kind, idx0, m)
+        if kind == "fwd1" and unordered:
+            # process groups in the table's permuted order; outputs land
+            # linearly -> the documented unordered layout
+            def permute_groups(arr):
+                v = arr.reshape(lead + (m // 8, 8, 4))
+                return v[..., _VEC_LANE_PERM, :].reshape(lead + (n,))
+
+            alo = permute_groups(alo)
+            ahi = permute_groups(ahi)
+        xs = _split4(alo, m, t)
+        hs = _split4(ahi, m, t)
+        outs = _r4_fwd_bfly_u64(
+            (xs[0], hs[0]), (xs[1], hs[1]), (xs[2], hs[2]), (xs[3], hs[3]),
+            w5, q,
+        )
+        alo = _join4([o[0] for o in outs], lead, n)
+        ahi = _join4([o[1] for o in outs], lead, n)
+        m <<= 2
+        t >>= 2
+    return alo, ahi
+
+
+def fwd_vec_u64(a, tab, tab_con, q: int, unordered: bool = False):
+    """Strict wrapper (final_reduce_q8, include/ntt_avx512_ifma.h:21-38)."""
+    return mm.reduce_8q_to_q(fwd_vec_lazy_u64(a, tab, tab_con, q, unordered), q)
+
+
+# ---------------------------------------------------------------------------
 # u32 path (q < 2^28: dual-Shoup needs t1+t2 < 16q <= 2^32; word_size=32)
 # ---------------------------------------------------------------------------
 

@@ -149,6 +149,26 @@ class NttPlan:
         )
 
     @functools.cached_property
+    def w_r4_vec_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_r4_vec(False), self.q, 64)
+
+    @functools.cached_property
+    def w_r4_vec_unord_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_r4_vec(True), self.q, 64)
+
+    @functools.cached_property
+    def dev_r4_vec_u64(self):
+        """(table, table_con) of the ordered 5N vec layout, u32 limb pairs."""
+        return mm.from_u64(self.w_r4_vec(False)), mm.from_u64(self.w_r4_vec_con)
+
+    @functools.cached_property
+    def dev_r4_vec_unord_u64(self):
+        return (
+            mm.from_u64(self.w_r4_vec(True)),
+            mm.from_u64(self.w_r4_vec_unord_con),
+        )
+
+    @functools.cached_property
     def dev_hexl_u64(self):
         """(table, table_con) of the 13N/8 HEXL layout as u32 limb pairs."""
         return mm.from_u64(self.w_hexl), mm.from_u64(self.w_hexl_con)

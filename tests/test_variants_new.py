@@ -91,6 +91,35 @@ def test_family_variants_bitexact(variant, p, rng):
     np.testing.assert_array_equal(api.inv_ntt(got, p, variant=variant), a)
 
 
+@pytest.mark.parametrize("p", [FIXTURES_ALL[0], FIXTURES_ALL[1],
+                               FIXTURES_ALL[13]], ids=fixture_id)
+def test_radix4_vec_bitexact(p, rng):
+    """radix4-vec (5N vector-layout consumer) oracle-exact, both log2 N
+    parities, plus the lazy 8q bound and the inverse round-trip."""
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant="radix4-vec")
+    np.testing.assert_array_equal(got, want)
+    lazy = api.fwd_ntt(a, p, variant="radix4-vec", lazy=True)
+    assert int(lazy.max()) < 8 * p.q
+    np.testing.assert_array_equal(lazy % np.uint64(p.q), want)
+    np.testing.assert_array_equal(api.inv_ntt(got, p, variant="radix4-vec"), a)
+
+
+def test_radix4_vec_unordered_layout(rng):
+    """The unordered variant's output equals the oracle after the
+    documented layout fix-up (fix_a_order analog)."""
+    p = FIXTURES_ALL[13]
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    raw = api.fwd_ntt(a, p, variant="radix4-vec-unordered")
+    assert not np.array_equal(raw, want)  # genuinely permuted
+    fixed = api.output_layout("radix4-vec-unordered", p).fix(raw)
+    np.testing.assert_array_equal(fixed, want)
+
+
 def test_seal_lazy_matches_harvey(rng):
     """SEAL's forward guard/mul_root chain is value-identical to the lazy
     Harvey chain (same ops, SEAL's loop schedule)."""
