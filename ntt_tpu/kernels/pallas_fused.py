@@ -3,25 +3,36 @@
 This is the TPU analog of the reference's cache-blocking fusion ideas
 (radix-4x4 two-layers-per-pass, src/ntt_radix4x4.c:64-75; HEXL depth-first
 recursion, third_party/hexl/fwd-ntt-avx512.c:310-328; r4r2/r2_16 fused
-in-register tails, src/ntt_r4r2_avx512_ifma.c:9-99): instead of one HBM
-round trip per butterfly stage (what the per-stage jnp kernels cost after
-XLA fusion), one Pallas grid step loads a (tile_b, N) batch tile into
-VMEM, runs ALL log2(N) stages -- six-step phase 1, an in-VMEM transpose,
-phase 2 -- and stores once.  HBM traffic drops to the speed-of-light
-2 x data-size (+ the one-time twiddle fetch).
+in-register tails, src/ntt_r4r2_avx512_ifma.c:9-99): one Pallas grid step
+loads a (tile_b, N1, N2) batch tile into VMEM, runs ALL log2(N) stages --
+six-step phase 1, an in-VMEM transpose, phase 2 -- and stores once.  HBM
+traffic drops to the speed-of-light 2 x data-size (+ the one-time twiddle
+fetch).
+
+Round-2 structure (see docs/PERF.md for the measured cost decomposition):
+
+  * I/O arrives pre-reshaped (batch, N1, N2) -- in-kernel lane-crossing
+    reshapes of the flat (batch, N) form are rejected by current Mosaic;
+  * the N2 = 128 split keeps every vector op at full lane width;
+  * stages run in rounds of TWO butterfly layers per (m, 4, t)-view
+    (the radix-4x4 layers-per-residency pattern): level A pairs slices
+    (c0,c2),(c1,c3) with w[m+g], level B pairs (c0,c1),(c2,c3) with
+    w[2m+2g+c]; DIT stages are in-place so one jnp.stack interleave
+    covers both layers;
+  * no scratch-ref stage barriers -- measured slower than the pure value
+    chain (VMEM round trips cost more than Mosaic's relayout folding).
 
 Mosaic cannot reshape across the lane dimension (small 1D->2D twiddle
 casts are unsupported), so twiddles arrive PRE-BROADCAST: host-side plan
-builders (fwd_tables/inv_tables) emit, per phase, a stacked
-(n_stages, N/2, lanes) matrix whose stage-s slab is already in the exact
-(groups*span, lanes) shape the stage butterfly consumes.  This mirrors
-how the reference gives each SIMD kernel its own expanded twiddle layout
-(expand_w_r4_avx512_ifma etc., pre_compute.h:154-324) -- same idea, VMEM
-tiles instead of 512-bit vectors.
+builders emit, per phase, a stacked (n_stages, N_axis/2, lanes) matrix
+whose stage-s slab is already in the exact (groups*span, lanes) shape the
+stage butterfly consumes -- the same idea as the reference's per-SIMD
+expanded twiddle layouts (pre_compute.h:154-324), VMEM tiles instead of
+512-bit vectors.
 
-Butterfly math is the element-backend code shared with every other
-kernel (kernels/elems.py), so these variants are bit-exact with the jnp
-six-step / radix-2 kernels by construction.
+Butterfly math is the element-backend code shared with every other kernel
+(kernels/elems.py), so these variants are bit-exact with the jnp six-step
+/ radix-2 kernels by construction.
 """
 
 from __future__ import annotations
@@ -34,7 +45,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ntt_tpu.kernels import sixstep as ss
 from ntt_tpu.kernels.elems import tmap
 
 
@@ -57,9 +67,9 @@ def col_stack(w_u64: np.ndarray, n1: int, n2: int) -> np.ndarray:
 
 def row_stack(w_u64: np.ndarray, n1: int, n2: int) -> np.ndarray:
     """(log2 n2, n2//2, n1) uint64 for the row phase: stage s slab holds,
-    at (g*t2 + j, col), the twiddle w[(m2 + g)*?] from the global-table
-    slice w[m2*n1 : 2*m2*n1] viewed (n1, m2) and transposed -- i.e.
-    value w[m2*n1 + col*m2 + g] (see sixstep._row_tw)."""
+    at (g*t2 + j, col), the twiddle from the global-table slice
+    w[m2*n1 : 2*m2*n1] viewed (n1, m2) and transposed -- i.e. value
+    w[m2*n1 + col*m2 + g] (see sixstep._row_tw)."""
     logn2 = n2.bit_length() - 1
     out = np.zeros((logn2, n2 // 2, n1), dtype=np.uint64)
     for s in range(logn2):
@@ -71,11 +81,11 @@ def row_stack(w_u64: np.ndarray, n1: int, n2: int) -> np.ndarray:
 
 def _vmem_bytes(tile_b: int, n: int, nlimb: int) -> int:
     # Empirically calibrated against Mosaic's scoped-stack allocation on
-    # v5e (the unrolled stage chain's temporaries are NOT reused): the
-    # compiler reports ~14 live u32 words per element for the single-limb
-    # chain and ~114 for the limb-pair chain (mul64_full intermediates).
-    # Observed: u32 tile 64 @ N=2^14 -> ~59MB compiles; u64 tile 16 ->
-    # 119.04MB exceeds the 100MB scoped-vmem limit.
+    # v5e (the unrolled stage chain's temporaries are NOT reused): ~14
+    # live u32 words per element for the single-limb chain, ~114 for the
+    # limb-pair chain (mul64_full intermediates).  Observed: u64 tile 16
+    # @ N=2^14 -> 119.04MB exceeds the 110MB scoped-vmem limit; tile 8
+    # compiles and runs.
     logn = n.bit_length() - 1
     words_per_elem = 14 if nlimb == 1 else 114
     tables = 4 * nlimb * 2 * logn * (n // 2)
@@ -83,40 +93,136 @@ def _vmem_bytes(tile_b: int, n: int, nlimb: int) -> int:
 
 
 def default_tile_b(n: int, nlimb: int, batch: int) -> int:
-    """Power-of-two batch tile: at least 8 (Mosaic needs the sublane dim of
-    a partial block divisible by 8; _call pads the batch), growing while
-    the working set stays under ~28MB (v5e has 128MB VMEM; a measured
-    tile sweep put the sweet spot at 64 rows for N=2^14 u32)."""
+    """Power-of-two batch tile: at least 8 (Mosaic sublane alignment; the
+    caller pads the batch), growing while the modeled working set stays
+    under the scoped-vmem budget."""
     tile = 8
     while tile * 2 <= batch and _vmem_bytes(tile * 2, n, nlimb) < 80 * (1 << 20):
         tile *= 2
     return tile
 
 
+def pick_split(n: int) -> int:
+    """n1_log for the fused kernel: N2 = 128 keeps the lane dimension full
+    (measured: the inherited XLA-path N2=64 split ran at half VPU width
+    and no longer compiles under current Mosaic)."""
+    logn = n.bit_length() - 1
+    return max(1, min(logn - 7, logn - 1))
+
+
+def make_rounds(log_n: int, group: int = 2) -> tuple[int, ...]:
+    """Stage grouping for one phase: `group`=2 fuses two layers per
+    interleave with a single tail stage when log_n is odd."""
+    if group == 1:
+        return (1,) * log_n
+    out = [2] * (log_n // 2)
+    if log_n % 2:
+        out.append(1)
+    return tuple(out)
+
+
 # ---------------------------------------------------------------------------
-# in-kernel stage sweeps (2D-safe: lane dim never reshaped)
+# in-kernel stage rounds (2D-safe: lane dim never reshaped)
 # ---------------------------------------------------------------------------
 
 
-def _stage(a, tw_refs, twc_refs, s: int, m: int, t: int, lanes: int, bfly):
-    """One butterfly stage on a rep of (tile_b, rows, lanes) arrays, pairing
-    along the rows axis; stage twiddles read from slab s of the stacks."""
-    tile_b = a[0].shape[0]
-
-    def view(l):
-        return l.reshape(tile_b, m, 2, t, lanes)
-
-    v = tmap(view, a)
-    x = tmap(lambda l: l[:, :, 0], v)
-    y = tmap(lambda l: l[:, :, 1], v)
-    wo = tuple(r[s].reshape(m, t, lanes) for r in tw_refs)
-    wc = tuple(r[s].reshape(m, t, lanes) for r in twc_refs)
+def _round_r2(v, tws, twcs, s, m, t, lanes, tile_b, n_axis, bfly):
+    view = tmap(lambda l: l.reshape(tile_b, m, 2, t, lanes), v)
+    x = tmap(lambda l: l[:, :, 0], view)
+    y = tmap(lambda l: l[:, :, 1], view)
+    wo = tuple(r[s].reshape(m, t, lanes) for r in tws)
+    wc = tuple(r[s].reshape(m, t, lanes) for r in twcs)
     nx, ny = bfly(x, y, wo, wc)
     return tmap(
-        lambda xl, yl: jnp.stack([xl, yl], axis=2).reshape(tile_b, 2 * m * t, lanes),
-        nx,
-        ny,
+        lambda a, b: jnp.stack([a, b], axis=2).reshape(tile_b, n_axis, lanes),
+        nx, ny,
     )
+
+
+def _round_r4(v, tws, twcs, s, m, t2, lanes, tile_b, n_axis, bfly):
+    """Two radix-2 layers per VMEM residency (src/ntt_radix4x4.c:64-75):
+    view (m, 4, t2); level A pairs (c0,c2),(c1,c3) with w[m+g]; level B
+    pairs (c0,c1) w[2m+2g] and (c2,c3) w[2m+2g+1].  Output rows land where
+    they started (DIT is in-place), so one interleave covers both."""
+    view = tmap(lambda l: l.reshape(tile_b, m, 4, t2, lanes), v)
+    x0 = tmap(lambda l: l[:, :, 0], view)
+    x1 = tmap(lambda l: l[:, :, 1], view)
+    x2 = tmap(lambda l: l[:, :, 2], view)
+    x3 = tmap(lambda l: l[:, :, 3], view)
+    wa_o = tuple(r[s].reshape(m, 2 * t2, lanes)[:, :t2] for r in tws)
+    wa_c = tuple(r[s].reshape(m, 2 * t2, lanes)[:, :t2] for r in twcs)
+    u0, u2 = bfly(x0, x2, wa_o, wa_c)
+    u1, u3 = bfly(x1, x3, wa_o, wa_c)
+    wb_o = tuple(r[s + 1].reshape(m, 2, t2, lanes) for r in tws)
+    wb_c = tuple(r[s + 1].reshape(m, 2, t2, lanes) for r in twcs)
+    z0, z1 = bfly(u0, u1, tuple(w[:, 0] for w in wb_o), tuple(w[:, 0] for w in wb_c))
+    z2, z3 = bfly(u2, u3, tuple(w[:, 1] for w in wb_o), tuple(w[:, 1] for w in wb_c))
+    return tmap(
+        lambda a, b, c, d: jnp.stack([a, b, c, d], axis=2).reshape(
+            tile_b, n_axis, lanes
+        ),
+        z0, z1, z2, z3,
+    )
+
+
+def _round_r4_rev(v, tws, twcs, s, m, t2, lanes, tile_b, n_axis, bfly):
+    """Inverse of _round_r4: level B (stage s+1) first, then level A."""
+    view = tmap(lambda l: l.reshape(tile_b, m, 4, t2, lanes), v)
+    x0 = tmap(lambda l: l[:, :, 0], view)
+    x1 = tmap(lambda l: l[:, :, 1], view)
+    x2 = tmap(lambda l: l[:, :, 2], view)
+    x3 = tmap(lambda l: l[:, :, 3], view)
+    wb_o = tuple(r[s + 1].reshape(m, 2, t2, lanes) for r in tws)
+    wb_c = tuple(r[s + 1].reshape(m, 2, t2, lanes) for r in twcs)
+    u0, u1 = bfly(x0, x1, tuple(w[:, 0] for w in wb_o), tuple(w[:, 0] for w in wb_c))
+    u2, u3 = bfly(x2, x3, tuple(w[:, 1] for w in wb_o), tuple(w[:, 1] for w in wb_c))
+    wa_o = tuple(r[s].reshape(m, 2 * t2, lanes)[:, :t2] for r in tws)
+    wa_c = tuple(r[s].reshape(m, 2 * t2, lanes)[:, :t2] for r in twcs)
+    z0, z2 = bfly(u0, u2, wa_o, wa_c)
+    z1, z3 = bfly(u1, u3, wa_o, wa_c)
+    return tmap(
+        lambda a, b, c, d: jnp.stack([a, b, c, d], axis=2).reshape(
+            tile_b, n_axis, lanes
+        ),
+        z0, z1, z2, z3,
+    )
+
+
+def _rounds_fwd(v, tws, twcs, n_axis, lanes, tile_b, bfly, s0=0):
+    logn = n_axis.bit_length() - 1
+    s = s0
+    for g in make_rounds(logn - s0):
+        if g == 1:
+            v = _round_r2(v, tws, twcs, s, 1 << s, n_axis >> (s + 1), lanes,
+                          tile_b, n_axis, bfly)
+        else:
+            v = _round_r4(v, tws, twcs, s, 1 << s, n_axis >> (s + 2), lanes,
+                          tile_b, n_axis, bfly)
+        s += g
+    return v
+
+
+def _rounds_rev(v, tws, twcs, n_axis, lanes, tile_b, bfly, s0=0):
+    """Stages logn-1 .. s0 in descending order (inverse NTT)."""
+    logn = n_axis.bit_length() - 1
+    plan = []
+    s = s0
+    for g in make_rounds(logn - s0):
+        plan.append((s, g))
+        s += g
+    for s, g in reversed(plan):
+        if g == 1:
+            v = _round_r2(v, tws, twcs, s, 1 << s, n_axis >> (s + 1), lanes,
+                          tile_b, n_axis, bfly)
+        else:
+            v = _round_r4_rev(v, tws, twcs, s, 1 << s, n_axis >> (s + 2),
+                              lanes, tile_b, n_axis, bfly)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# kernels
+# ---------------------------------------------------------------------------
 
 
 def _fwd_kernel(ops, q, n1, n2, strict, keep_transposed, nlimb, refs):
@@ -127,27 +233,23 @@ def _fwd_kernel(ops, q, n1, n2, strict, keep_transposed, nlimb, refs):
     rtwc = refs[4 * nlimb : 5 * nlimb]
     o_refs = refs[5 * nlimb :]
     tile_b = a_refs[0].shape[0]
-    n = n1 * n2
-    logn1, logn2 = n1.bit_length() - 1, n2.bit_length() - 1
 
-    a = tuple(r[...].reshape(tile_b, n1, n2) for r in a_refs)
     ctw_v = tuple(r[...] for r in ctw)
     ctwc_v = tuple(r[...] for r in ctwc)
     rtw_v = tuple(r[...] for r in rtw)
     rtwc_v = tuple(r[...] for r in rtwc)
 
     bfly = lambda x, y, wo, wc: ops.fwd_bfly(x, y, wo, wc, q)
-    for s in range(logn1):
-        a = _stage(a, ctw_v, ctwc_v, s, 1 << s, n1 >> (s + 1), n2, bfly)
-    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    for s in range(logn2):
-        a = _stage(a, rtw_v, rtwc_v, s, 1 << s, n2 >> (s + 1), n1, bfly)
+    v = tuple(r[...] for r in a_refs)  # (tile_b, n1, n2)
+    v = _rounds_fwd(v, ctw_v, ctwc_v, n1, n2, tile_b, bfly)
+    v = tmap(lambda l: jnp.swapaxes(l, -1, -2), v)  # (tile_b, n2, n1)
+    v = _rounds_fwd(v, rtw_v, rtwc_v, n2, n1, tile_b, bfly)
     if strict:
-        a = ops.reduce_4q_to_q(a, q)
+        v = ops.reduce_4q_to_q(v, q)
     if not keep_transposed:
-        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    for o, l in zip(o_refs, a):
-        o[...] = l.reshape(tile_b, n)
+        v = tmap(lambda l: jnp.swapaxes(l, -1, -2), v)
+    for o, l in zip(o_refs, v):
+        o[...] = l
 
 
 def _inv_kernel(ops, q, n1, n2, n_inv_op, n_inv_con, f_tmp, f_con, nlimb, refs):
@@ -158,29 +260,25 @@ def _inv_kernel(ops, q, n1, n2, n_inv_op, n_inv_con, f_tmp, f_con, nlimb, refs):
     rtwc = refs[4 * nlimb : 5 * nlimb]
     o_refs = refs[5 * nlimb :]
     tile_b = a_refs[0].shape[0]
-    n = n1 * n2
-    logn1, logn2 = n1.bit_length() - 1, n2.bit_length() - 1
 
-    a = tuple(r[...].reshape(tile_b, n1, n2) for r in a_refs)
     ctw_v = tuple(r[...] for r in ctw)
     ctwc_v = tuple(r[...] for r in ctwc)
     rtw_v = tuple(r[...] for r in rtw)
     rtwc_v = tuple(r[...] for r in rtwc)
 
     bfly = lambda x, y, wo, wc: ops.bkw_bfly(x, y, wo, wc, q)
-    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    for s in reversed(range(logn2)):
-        a = _stage(a, rtw_v, rtwc_v, s, 1 << s, n2 >> (s + 1), n1, bfly)
-    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    for s in reversed(range(1, logn1)):
-        a = _stage(a, ctw_v, ctwc_v, s, 1 << s, n1 >> (s + 1), n2, bfly)
+    v = tuple(r[...] for r in a_refs)  # (tile_b, n1, n2), natural layout
+    v = tmap(lambda l: jnp.swapaxes(l, -1, -2), v)  # (tile_b, n2, n1)
+    v = _rounds_rev(v, rtw_v, rtwc_v, n2, n1, tile_b, bfly)
+    v = tmap(lambda l: jnp.swapaxes(l, -1, -2), v)  # (tile_b, n1, n2)
+    v = _rounds_rev(v, ctw_v, ctwc_v, n1, n2, tile_b, bfly, s0=1)
     # final fused stage: split-half along rows, x n_inv (src/ntt_reference.c:55-65)
-    x = tmap(lambda l: l[:, : n1 // 2, :], a)
-    y = tmap(lambda l: l[:, n1 // 2 :, :], a)
+    x = tmap(lambda l: l[:, : n1 // 2, :], v)
+    y = tmap(lambda l: l[:, n1 // 2 :, :], v)
     nx, ny = ops.bkw_final(x, y, n_inv_op, n_inv_con, f_tmp, f_con, q)
-    a = tmap(lambda xl, yl: jnp.concatenate([xl, yl], axis=1), nx, ny)
-    for o, l in zip(o_refs, a):
-        o[...] = l.reshape(tile_b, n)
+    v = tmap(lambda xl, yl: jnp.concatenate([xl, yl], axis=1), nx, ny)
+    for o, l in zip(o_refs, v):
+        o[...] = l
 
 
 # ---------------------------------------------------------------------------
@@ -188,11 +286,14 @@ def _inv_kernel(ops, q, n1, n2, n_inv_op, n_inv_con, f_tmp, f_con, nlimb, refs):
 # ---------------------------------------------------------------------------
 
 
-def _call(kernel_fn, a_rep, tables, n: int, tile_b: int, interpret: bool):
+def _call(kernel_fn, a_rep, tables, n: int, n1: int, n2: int, tile_b: int,
+          out_transposed: bool, interpret: bool):
     """Grid over batch tiles; twiddle stacks broadcast to every grid step
-    (same block each step -> fetched once, VMEM-resident)."""
+    (same block each step -> fetched once, VMEM-resident).  I/O blocks are
+    rank-3 (tile_b, n1, n2) -- the (batch, N) -> (batch, N1, N2) reshape
+    happens OUTSIDE the kernel (free in XLA, unsupported in Mosaic)."""
     nlimb = len(a_rep)
-    if not interpret and _vmem_bytes(tile_b, n, nlimb) > 80 * (1 << 20):
+    if not interpret and _vmem_bytes(tile_b, n, nlimb) > 110 * (1 << 20):
         raise ValueError(
             f"pallas-fused working set for N={n} ({nlimb} limb(s), "
             f"tile_b={tile_b}) exceeds VMEM; use the 'sixstep'/'radix2' "
@@ -200,14 +301,17 @@ def _call(kernel_fn, a_rep, tables, n: int, tile_b: int, interpret: bool):
         )
     lead = a_rep[0].shape[:-1]
     batch = int(np.prod(lead)) if lead else 1
-    a2 = tuple(l.reshape(batch, n) for l in a_rep)
+    a3 = tuple(l.reshape(batch, n1, n2) for l in a_rep)
     pad = (-batch) % tile_b
     if pad:
-        a2 = tuple(jnp.pad(l, ((0, pad), (0, 0))) for l in a2)
+        a3 = tuple(jnp.pad(l, ((0, pad), (0, 0), (0, 0))) for l in a3)
     padded = batch + pad
 
     grid = (padded // tile_b,)
-    tile_spec = pl.BlockSpec((tile_b, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_spec = pl.BlockSpec((tile_b, n1, n2), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out3 = (tile_b, n2, n1) if out_transposed else (tile_b, n1, n2)
+    out_spec = pl.BlockSpec(out3, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     tab_specs = [
         pl.BlockSpec(
             t.shape,
@@ -219,16 +323,17 @@ def _call(kernel_fn, a_rep, tables, n: int, tile_b: int, interpret: bool):
     out = pl.pallas_call(
         kernel_fn,
         grid=grid,
-        in_specs=[tile_spec] * nlimb + tab_specs,
-        out_specs=tuple([tile_spec] * nlimb),
+        in_specs=[in_spec] * nlimb + tab_specs,
+        out_specs=tuple([out_spec] * nlimb),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((padded, n), jnp.uint32) for _ in range(nlimb)
+            jax.ShapeDtypeStruct((padded,) + out3[1:], jnp.uint32)
+            for _ in range(nlimb)
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * (1 << 20),
+            vmem_limit_bytes=110 * (1 << 20),
         ),
-    )(*a2, *tables)
+    )(*a3, *tables)
     if pad:
         out = tuple(l[:batch] for l in out)
     return tuple(l.reshape(lead + (n,)) for l in out)
@@ -283,7 +388,8 @@ def fwd_fused(
     kernel = functools.partial(
         _fwd_kernel, ops, q, n1, n2, strict, keep_transposed, len(a_rep)
     )
-    return _call(lambda *refs: kernel(refs), a_rep, tables, n, tile_b, interpret)
+    return _call(lambda *refs: kernel(refs), a_rep, tables, n, n1, n2, tile_b,
+                 keep_transposed, interpret)
 
 
 def inv_fused(
@@ -312,8 +418,5 @@ def inv_fused(
         _inv_kernel, ops, q, n1, n2, n_inv_op, n_inv_con, final_tmp, final_con,
         len(a_rep),
     )
-    return _call(lambda *refs: kernel(refs), a_rep, tables, n, tile_b, interpret)
-
-
-def pick_split(n: int) -> int:
-    return ss.default_split(n)
+    return _call(lambda *refs: kernel(refs), a_rep, tables, n, n1, n2, tile_b,
+                 False, interpret)
