@@ -122,24 +122,33 @@ def _matmul_mod_q(mat_limbs, x_u32, q: int, contract: str):
 
     contract='left':  out[j, ...] = sum_k mat[j, k] * x[k, ...]   (phase 1)
     contract='right': out[..., j] = sum_k x[..., k] * mat[j, k]   (phase 3)
-    """
+
+    The L value-limbs are CONCATENATED along the non-contracting axis so
+    each matrix-limb does ONE wide matmul (L matmuls total instead of L^2
+    narrow ones -- 4x fewer MXU dispatches at 4x the free dimension)."""
     x_limbs = _limbs_of_values(x_u32)
     n_diag = 2 * N_LIMBS - 1
     diags = [None] * n_diag
-    for s in range(N_LIMBS):
-        for t_ in range(N_LIMBS):
-            if contract == "left":
-                p = jnp.einsum(
-                    "jk,bki->bji", mat_limbs[s], x_limbs[t_],
-                    preferred_element_type=jnp.int32,
-                )
-            else:
-                p = jnp.einsum(
-                    "bik,jk->bij", x_limbs[t_], mat_limbs[s],
-                    preferred_element_type=jnp.int32,
-                )
-            d = s + t_
-            diags[d] = p if diags[d] is None else diags[d] + p
+    if contract == "left":
+        free = x_u32.shape[-1]
+        xcat = jnp.concatenate(x_limbs, axis=-1)  # (b, k, L*free)
+        for s in range(N_LIMBS):
+            p = jnp.einsum("jk,bki->bji", mat_limbs[s], xcat,
+                           preferred_element_type=jnp.int32)
+            for t_ in range(N_LIMBS):
+                d = s + t_
+                part = p[..., t_ * free : (t_ + 1) * free]
+                diags[d] = part if diags[d] is None else diags[d] + part
+    else:
+        free = x_u32.shape[-2]
+        xcat = jnp.concatenate(x_limbs, axis=-2)  # (b, L*free, k)
+        for s in range(N_LIMBS):
+            p = jnp.einsum("bik,jk->bij", xcat, mat_limbs[s],
+                           preferred_element_type=jnp.int32)
+            for t_ in range(N_LIMBS):
+                d = s + t_
+                part = p[..., t_ * free : (t_ + 1) * free, :]
+                diags[d] = part if diags[d] is None else diags[d] + part
     return _horner_mod_q(diags, q)
 
 
@@ -168,10 +177,10 @@ def fwd_mxu(a_u32, tabs, q: int, strict: bool = True):
 
 @functools.lru_cache(maxsize=32)
 def get_mxu_tables(q: int, psi: int, n: int, n1_log: int | None = None):
-    from ntt_tpu.kernels.sixstep import default_split
-
     if n1_log is None:
-        n1_log = default_split(n)
+        # balanced split: both matmul dims land on the 128x128 systolic
+        # array aligned (the VPU-path split rule does not apply here)
+        n1_log = (n.bit_length() - 1) // 2
     return build_mxu_tables(q, psi, n, n1_log)
 
 
@@ -247,8 +256,6 @@ def inv_mxu(a_u32, tabs, q: int):
 
 @functools.lru_cache(maxsize=32)
 def get_mxu_inv_tables(q: int, psi: int, n: int, n1_log: int | None = None):
-    from ntt_tpu.kernels.sixstep import default_split
-
     if n1_log is None:
-        n1_log = default_split(n)
+        n1_log = (n.bit_length() - 1) // 2  # balanced (see get_mxu_tables)
     return build_mxu_inv_tables(q, psi, n, n1_log)
