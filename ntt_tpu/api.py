@@ -474,7 +474,25 @@ def _r4r2_reps(plan: NttPlan, inverse: bool):
     return ops, w, wc, w4, w4c
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_r4r2_tab(q: int, lazy: bool):
+    from ntt_tpu.kernels import mixed
+
+    fn = mixed.fwd_tab_lazy_u64 if lazy else mixed.fwd_tab_u64
+
+    def core(alo, ahi, tlo, thi, clo, chi):
+        return fn((alo, ahi), (tlo, thi), (clo, chi), q)
+
+    return jax.jit(core)
+
+
 def _r4r2_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    if not plan.supports_u32_radix4 and plan.n >= 128:
+        # u64 path consumes the 5N expand_w_r4r2 layout directly
+        tab, tab_con = plan.dev_r4r2_u64
+        alo, ahi = mm.from_u64(a)
+        fn = _jit_fwd_r4r2_tab(plan.q, lazy)
+        return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
     ops, w, wc, w4, w4c = _r4r2_reps(plan, inverse=False)
     fn = _jit_fwd_r4r2(plan.q, lazy, ops.nlimb)
     return ops.to_host(fn(*ops.from_host(a), *w, *wc, *w4, *w4c))

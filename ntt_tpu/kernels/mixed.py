@@ -105,6 +105,129 @@ def fwd_u64(a, w, w_con, w4, w4_con, q: int):
     return mm.reduce_4q_to_q(fwd_lazy_u64(a, w, w_con, w4, w4_con, q), q)
 
 
+# ---------------------------------------------------------------------------
+# 5N-table consumer: the expand_w_r4r2 layout (pre_compute.h:253-324)
+# ---------------------------------------------------------------------------
+#
+# The reference's r4r2 kernel walks ONE expanded table: flat quintuple runs
+# for the radix-4 sweeps, then duplicated/interleaved segments for the
+# fused radix-2 tail.  This forward consumes that exact layout: quintuples
+# as contiguous (m, 5) views, the tail's x4-duplicated segment as the
+# pre-broadcast (m, 4) stage view, and the FwdT2/FwdT1 segments through
+# the documented inverses of their lane interleaves (as in
+# kernels/radix2._r2_16_tw_view).
+
+_T2_INV = np.array([0, 2, 1, 3])
+_T1_INV = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+
+
+def _r4r2_offsets(n: int) -> dict:
+    """Region offsets of expand_w_r4r2's emission (requires n >= 128)."""
+    logn = n.bit_length() - 1
+    even = logn % 2 == 0
+    out = {}
+    idx, m, w_idx = 1, 1, 1
+    t_lim = n >> 4
+    while w_idx < t_lim:
+        out[("r4", m)] = idx
+        idx += 5 * m
+        w_idx = 4 * m
+        m <<= 2
+    idx = ((idx >> 3) << 3) + 8
+    if even:
+        out[("r2", n >> 4)] = idx  # verbatim, t == 8 tail head
+        idx += n >> 4
+    out[("r2x4", n >> 3)] = idx  # x4-duplicated, t == 4
+    idx += 4 * (n >> 3)
+    out[("r2t2", n >> 2)] = idx  # FwdT2 pattern, t == 2
+    idx += n >> 1
+    out[("r2t1", n >> 1)] = idx  # FwdT1 interleave, t == 1
+    return out
+
+
+def _r4r2_tail_view(arr, kind: str, idx0: int, m: int):
+    if kind == "r2":
+        return arr[idx0 : idx0 + m].reshape(m, 1)
+    if kind == "r2x4":
+        return arr[idx0 : idx0 + 4 * m].reshape(m, 4)
+    if kind == "r2t2":
+        return arr[idx0 : idx0 + 2 * m].reshape(m // 4, 4, 2)[:, _T2_INV].reshape(m, 2)
+    return arr[idx0 : idx0 + m].reshape(m // 8, 8)[:, _T1_INV].reshape(m, 1)
+
+
+def _r2_fwd_stage_tw_u64(a, wo, wc, m: int, t: int, q: int):
+    alo, ahi = a
+    xlo, ylo = _split(alo, m, t)
+    xhi, yhi = _split(ahi, m, t)
+    x1 = mm.reduce_4q_to_2q((xlo, xhi), q)
+    tt = mm.shoup_mul_q2(wo, wc, (ylo, yhi), q)
+    q2 = mm.const_u64(2 * q)
+    nx = mm.add64(x1, tt)
+    ny = mm.sub64(mm.add64(x1, q2), tt)
+    return _join(nx[0], ny[0]), _join(nx[1], ny[1])
+
+
+def fwd_tab_lazy_u64(a, tab, tab_con, q: int):
+    """r4r2 forward over the 5N expand_w_r4r2 table; lazy output < 4q."""
+    n = a[0].shape[-1]
+    logn = n.bit_length() - 1
+    assert n >= 128, "r4r2 table layout needs n >= 128"
+    k, r = _stage_plan(logn)
+    offs = _r4r2_offsets(n)
+    lead = a[0].shape[:-1]
+    m, t = 1, n >> 2
+    for _ in range(k):
+        idx0 = offs[("r4", m)]
+        q5 = [
+            (
+                (
+                    tab[0][idx0 : idx0 + 5 * m].reshape(m, 5)[:, c].reshape(m, 1),
+                    tab[1][idx0 : idx0 + 5 * m].reshape(m, 5)[:, c].reshape(m, 1),
+                ),
+                (
+                    tab_con[0][idx0 : idx0 + 5 * m].reshape(m, 5)[:, c].reshape(m, 1),
+                    tab_con[1][idx0 : idx0 + 5 * m].reshape(m, 5)[:, c].reshape(m, 1),
+                ),
+            )
+            for c in range(5)
+        ]
+        alo, ahi = a
+        xs = r4._split4(alo, m, t)
+        hs = r4._split4(ahi, m, t)
+        outs = r4._r4_fwd_bfly_u64(
+            (xs[0], hs[0]), (xs[1], hs[1]), (xs[2], hs[2]), (xs[3], hs[3]),
+            q5, q,
+        )
+        a = (
+            r4._join4([o[0] for o in outs], lead, n),
+            r4._join4([o[1] for o in outs], lead, n),
+        )
+        m <<= 2
+        t >>= 2
+    if k:
+        a = mm.reduce_8q_to_4q(a, q)
+    m, t = 1 << (2 * k), n >> (2 * k + 1)
+    kinds = (["r2"] if r == 4 else []) + ["r2x4", "r2t2", "r2t1"]
+    for kind in kinds:
+        idx0 = offs[(kind, m)]
+        wo = (
+            _r4r2_tail_view(tab[0], kind, idx0, m),
+            _r4r2_tail_view(tab[1], kind, idx0, m),
+        )
+        wc = (
+            _r4r2_tail_view(tab_con[0], kind, idx0, m),
+            _r4r2_tail_view(tab_con[1], kind, idx0, m),
+        )
+        a = _r2_fwd_stage_tw_u64(a, wo, wc, m, t, q)
+        m <<= 1
+        t >>= 1
+    return a
+
+
+def fwd_tab_u64(a, tab, tab_con, q: int):
+    return mm.reduce_4q_to_q(fwd_tab_lazy_u64(a, tab, tab_con, q), q)
+
+
 def _r2_bkw_stage_u64(a, w, w_con, m: int, t: int, q: int):
     alo, ahi = a
     xlo, ylo = _split(alo, m, t)

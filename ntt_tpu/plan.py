@@ -104,6 +104,15 @@ class NttPlan:
     def w_r4r2(self) -> np.ndarray:
         return tw.expand_w_r4r2(self.w, self.q)
 
+    @functools.cached_property
+    def w_r4r2_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_r4r2, self.q, 64)
+
+    @functools.cached_property
+    def dev_r4r2_u64(self):
+        """(table, table_con) of the 5N r4r2 layout as u32 limb pairs."""
+        return mm.from_u64(self.w_r4r2), mm.from_u64(self.w_r4r2_con)
+
     # word_size-32 Shoup constants for the u32 fast path
     def con32(self, table: np.ndarray) -> np.ndarray:
         return tw.calc_w_con(table, self.q, 32)
