@@ -184,6 +184,20 @@ def _suite_bodies(plan):
     bodies["inv-radix2-u64"] = (
         lambda x: radix2.inv_u64(x, (il, ih), (icl, ich), ninv, nc64, w1s64, q)
     ), "u64"
+    f_tmp64, f_con64 = radix2._final_mulop(ninv, nc64, w1s64, q, 64)
+    bodies["inv-sixstep-u64"] = (
+        lambda x: ss.inv_sixstep(x, U64Ops, (il, ih), (icl, ich), ninv, nc64,
+                                 f_tmp64, f_con64, q)
+    ), "u64"
+    if plan.supports_u32_radix2:
+        _, _, wi32, wic32 = plan.dev_r2_u32
+        f_tmp32, f_con32 = radix2._final_mulop(
+            ninv, plan.n_inv_con32, int(plan.w_inv[1]), q, 32
+        )
+        bodies["inv-sixstep-u32"] = (
+            lambda x: ss.inv_sixstep((x,), U32Ops, (wi32,), (wic32,), ninv,
+                                     plan.n_inv_con32, f_tmp32, f_con32, q)[0]
+        ), "u32"
     return bodies
 
 
@@ -249,7 +263,13 @@ def roofline(p, sec_per_transform: float, nlimb: int, peak_gbs: float) -> str:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None, help="force jax platform (e.g. cpu)")
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument(
+        "--batch", type=int, default=None,
+        help="default: measured-optimal batch for the modulus width "
+        "(128 for the u64 path, 256 for u32 -- the size where XLA keeps "
+        "the per-stage intermediates VMEM-resident; larger batches fall "
+        "off a cliff: u64 512->6.6, 1024->8.5, 2048->19.4 us/t)",
+    )
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--inner", type=int, default=50)
     ap.add_argument("--m", type=int, default=14)
@@ -262,6 +282,8 @@ def main() -> None:
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of one headline batch here")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 256 if args.q_bits < 30 else 128
 
     import jax
 
