@@ -835,8 +835,16 @@ class DeviceNtt:
     >>> c = ctx.to_host(ctx.inv(ctx.pointwise(fa, fb)))
     """
 
-    def __init__(self, params_or_plan, lazy: bool = False):
+    def __init__(self, params_or_plan, lazy: bool = False,
+                 batch_tile: int | None = None):
+        """batch_tile: process batches in lax.map tiles of this many rows.
+        Per-transform time is strongly batch-dependent (XLA keeps stage
+        intermediates VMEM-resident below ~32MB working sets, docs/PERF.md);
+        tiling recovers most of the small-batch rate for large serving
+        batches (measured u64 N=2^14: batch 1024 direct 8.5 us/t, tiled
+        by 128 -> 6.2).  Batch must divide by the tile."""
         self.plan = _resolve(params_or_plan)
+        self._batch_tile = batch_tile
         plan = self.plan
         self.ops = U32Ops if plan.supports_u32_radix2 else U64Ops
         self._n1_log = sixstep.default_split(plan.n)
@@ -857,6 +865,8 @@ class DeviceNtt:
             self.ops.nlimb,
         )
         self._pointwise = _jit_pointwise(plan.q, self.ops.nlimb)
+        self._fwd_tiled = self._make_tiled(self._fwd) if batch_tile else None
+        self._inv_tiled = self._make_tiled(self._inv) if batch_tile else None
 
     # rep <-> host
     def from_host(self, a) -> tuple:
@@ -865,12 +875,36 @@ class DeviceNtt:
     def to_host(self, rep) -> np.ndarray:
         return self.ops.to_host(rep)
 
+    def _make_tiled(self, core):
+        tile = self._batch_tile
+        nlimb = self.ops.nlimb
+
+        def run(*flat):
+            rep = flat[:nlimb]
+            tabs = flat[nlimb:]
+            batch = rep[0].shape[0]
+            shaped = tuple(
+                l.reshape((batch // tile, tile) + l.shape[1:]) for l in rep
+            )
+            out = jax.lax.map(lambda t: core(*t, *tabs), shaped)
+            return tuple(l.reshape((batch,) + l.shape[2:]) for l in out)
+
+        return jax.jit(run)
+
+    def _dispatch(self, fn, tiled_fn, rep, tabs1, tabs2):
+        tile = self._batch_tile
+        if (not tile or rep[0].ndim < 2 or rep[0].shape[0] <= tile
+                or rep[0].shape[0] % tile):
+            return fn(*rep, *tabs1, *tabs2)
+        return tiled_fn(*rep, *tabs1, *tabs2)
+
     # device ops (rep -> rep, all jitted+cached)
     def fwd(self, rep) -> tuple:
-        return self._fwd(*rep, *self._w, *self._wc)
+        return self._dispatch(self._fwd, self._fwd_tiled, rep, self._w, self._wc)
 
     def inv(self, rep) -> tuple:
-        return self._inv(*rep, *self._wi, *self._wic)
+        return self._dispatch(self._inv, self._inv_tiled, rep, self._wi,
+                              self._wic)
 
     def pointwise(self, rep_a, rep_b) -> tuple:
         return self._pointwise(rep_a, rep_b)
