@@ -7,6 +7,7 @@ representatives (word_size=64 end-to-end); the u32 path only promises
 strict parity (different word size -- same contract as the reference's
 VMSL/IFMA reduced-word variants)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -146,6 +147,45 @@ def test_sixstep_roundtrip(p, rng):
     f = api.fwd_ntt(a, p, variant="sixstep")
     back = api.inv_ntt(f, p, variant="sixstep")
     np.testing.assert_array_equal(back, a)
+
+
+@pytest.mark.parametrize("group", [2, 3, 4])
+@pytest.mark.parametrize("qb_m", [(27, 10), (50, 10)], ids=str)
+def test_sixstep_grouped_stages(group, qb_m, rng):
+    """Grouped stages (g butterfly layers per interleave) are bit-exact
+    fwd+inv at every supported g, both limb widths."""
+    from ntt_tpu.kernels import radix2, sixstep as ss
+    from ntt_tpu.kernels.elems import U32Ops, U64Ops, tmap
+
+    from ntt_tpu.params import NttParams
+
+    p = NttParams.generate(*qb_m)
+    plan = get_plan(p)
+    q = p.q
+    ops = U32Ops if plan.supports_u32_radix2 else U64Ops
+    a = make_input(rng, p.n, p.q, batch=2)
+    a_rep = ops.from_host(a)
+    if ops is U32Ops:
+        w, wc, wi, wic = plan.dev_r2_u32
+        w_rep, wc_rep, wi_rep, wic_rep = (w,), (wc,), (wi,), (wic,)
+        ninv_con, word = plan.n_inv_con32, 32
+    else:
+        w_rep, wc_rep, wi_rep, wic_rep = plan.dev_r2_u64
+        ninv_con, word = plan.n_inv_con, 64
+    f_tmp, f_con = radix2._final_mulop(
+        p.n_inv, ninv_con, int(plan.w_inv[1]), q, word
+    )
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got_rep = jax.jit(
+        lambda x: ss.fwd_sixstep(x, ops, w_rep, wc_rep, q, strict=True,
+                                 group=group)
+    )(a_rep)
+    np.testing.assert_array_equal(ops.to_host(got_rep), want)
+    back = jax.jit(
+        lambda x: ss.inv_sixstep(x, ops, wi_rep, wic_rep, p.n_inv, ninv_con,
+                                 f_tmp, f_con, q, group=group)
+    )(got_rep)
+    np.testing.assert_array_equal(ops.to_host(back), a)
 
 
 def test_sixstep_u64_lazy_bitexact(rng):

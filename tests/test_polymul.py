@@ -108,6 +108,22 @@ def test_device_ntt_serving_api(q_bits, rng):
     np.testing.assert_array_equal(got, api.negacyclic_mul(a, b, small))
 
 
+def test_device_ntt_batch_tiled(rng):
+    """DeviceNtt(batch_tile=K): lax.map-tiled large-batch path is exact
+    and non-divisible/small batches fall back to the direct program."""
+    small = NttParams.generate(29, 7)
+    ctx = api.DeviceNtt(small, batch_tile=4)
+    a = make_input(rng, small.n, small.q, batch=8)
+    rep = ctx.from_host(a)
+    want = api.fwd_ntt(a, small, variant="sixstep")
+    np.testing.assert_array_equal(ctx.to_host(ctx.fwd(rep)), want)
+    np.testing.assert_array_equal(ctx.to_host(ctx.inv(ctx.fwd(rep))), a)
+    a3 = a[:3]  # non-divisible: direct path
+    np.testing.assert_array_equal(
+        ctx.to_host(ctx.fwd(ctx.from_host(a3))), want[:3]
+    )
+
+
 def test_negacyclic_mul_honors_variant(rng):
     """An explicit non-sixstep variant must route through the composed
     per-step path (regression: fused path used to ignore `variant`)."""
