@@ -61,12 +61,12 @@ def _measure_loop(body, x0, reps: int, k1: int, k2: int,
             break
         scale = target_s / max(diff, target_s / 16)
         k2 = min(200_000, max(k2 * 2, int(k2 * scale) + k1))
-    for _ in range(3):  # retry with a longer run if variance swamps the delta
+    for attempt in range(3):  # retry longer if variance swamps the delta
         lo = min(timed(k1) for _ in range(reps))
         hi = min(timed(k2) for _ in range(reps))
-        if hi - lo >= target_s / 2:
+        if hi - lo >= target_s / 2 or attempt == 2:
             break
-        k2 = min(400_000, k2 * 2)
+        k2 = min(400_000, k2 * 2)  # next attempt re-measures at the new k2
     return (hi - lo) / (k2 - k1)
 
 

@@ -60,8 +60,9 @@ def radix4_vec_unordered(n: int) -> Layout:
     order per 8-group block and stores linearly
     (src/ntt_radix4_avx512_ifma_unordered.c:69-84).  Standard group g of
     block b sits at slot argsort(perm)[g mod 8]."""
-    lane_perm = np.array([0, 4, 1, 5, 2, 6, 3, 7])
-    slot_of = np.argsort(lane_perm)  # inverse permutation
+    from ntt_tpu.twiddles import LANE_PERM
+
+    slot_of = np.argsort(LANE_PERM)  # inverse permutation
     r = np.arange(n)
     g, c = r >> 2, r & 3
     b, j = g >> 3, g & 7

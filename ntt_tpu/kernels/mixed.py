@@ -47,17 +47,9 @@ def _stage_plan(logn: int) -> tuple[int, int]:
 
 
 def _r2_fwd_stage_u64(a, w, w_con, m: int, t: int, q: int):
-    alo, ahi = a
-    xlo, ylo = _split(alo, m, t)
-    xhi, yhi = _split(ahi, m, t)
     wo = (w[0][m : 2 * m].reshape(m, 1), w[1][m : 2 * m].reshape(m, 1))
     wc = (w_con[0][m : 2 * m].reshape(m, 1), w_con[1][m : 2 * m].reshape(m, 1))
-    x1 = mm.reduce_4q_to_2q((xlo, xhi), q)
-    tt = mm.shoup_mul_q2(wo, wc, (ylo, yhi), q)
-    q2 = mm.const_u64(2 * q)
-    nx = mm.add64(x1, tt)
-    ny = mm.sub64(mm.add64(x1, q2), tt)
-    return _join(nx[0], ny[0]), _join(nx[1], ny[1])
+    return _fwd_stage_tw_u64(a, wo, wc, m, t, q)
 
 
 def _r4_fwd_sweep_u64(a, w4, w4_con, m: int, t: int, q: int):
@@ -117,8 +109,9 @@ def fwd_u64(a, w, w_con, w4, w4_con, q: int):
 # the documented inverses of their lane interleaves (as in
 # kernels/radix2._r2_16_tw_view).
 
-_T2_INV = np.array([0, 2, 1, 3])
-_T1_INV = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+from ntt_tpu.kernels.radix2 import _R2_16_T1_INV as _T1_INV  # noqa: E402
+from ntt_tpu.kernels.radix2 import _R2_16_T2_INV as _T2_INV  # noqa: E402
+from ntt_tpu.kernels.radix2 import _fwd_stage_tw_u64  # noqa: E402
 
 
 def _r4r2_offsets(n: int) -> dict:
@@ -155,18 +148,6 @@ def _r4r2_tail_view(arr, kind: str, idx0: int, m: int):
     return arr[idx0 : idx0 + m].reshape(m // 8, 8)[:, _T1_INV].reshape(m, 1)
 
 
-def _r2_fwd_stage_tw_u64(a, wo, wc, m: int, t: int, q: int):
-    alo, ahi = a
-    xlo, ylo = _split(alo, m, t)
-    xhi, yhi = _split(ahi, m, t)
-    x1 = mm.reduce_4q_to_2q((xlo, xhi), q)
-    tt = mm.shoup_mul_q2(wo, wc, (ylo, yhi), q)
-    q2 = mm.const_u64(2 * q)
-    nx = mm.add64(x1, tt)
-    ny = mm.sub64(mm.add64(x1, q2), tt)
-    return _join(nx[0], ny[0]), _join(nx[1], ny[1])
-
-
 def fwd_tab_lazy_u64(a, tab, tab_con, q: int):
     """r4r2 forward over the 5N expand_w_r4r2 table; lazy output < 4q."""
     n = a[0].shape[-1]
@@ -178,19 +159,7 @@ def fwd_tab_lazy_u64(a, tab, tab_con, q: int):
     m, t = 1, n >> 2
     for _ in range(k):
         idx0 = offs[("r4", m)]
-        q5 = [
-            (
-                (
-                    tab[0][idx0 : idx0 + 5 * m].reshape(m, 5)[:, c].reshape(m, 1),
-                    tab[1][idx0 : idx0 + 5 * m].reshape(m, 5)[:, c].reshape(m, 1),
-                ),
-                (
-                    tab_con[0][idx0 : idx0 + 5 * m].reshape(m, 5)[:, c].reshape(m, 1),
-                    tab_con[1][idx0 : idx0 + 5 * m].reshape(m, 5)[:, c].reshape(m, 1),
-                ),
-            )
-            for c in range(5)
-        ]
+        q5 = r4._r4_vec_w5(tab, tab_con, "fwd8", idx0, m)
         alo, ahi = a
         xs = r4._split4(alo, m, t)
         hs = r4._split4(ahi, m, t)
@@ -218,7 +187,7 @@ def fwd_tab_lazy_u64(a, tab, tab_con, q: int):
             _r4r2_tail_view(tab_con[0], kind, idx0, m),
             _r4r2_tail_view(tab_con[1], kind, idx0, m),
         )
-        a = _r2_fwd_stage_tw_u64(a, wo, wc, m, t, q)
+        a = _fwd_stage_tw_u64(a, wo, wc, m, t, q)
         m <<= 1
         t >>= 1
     return a

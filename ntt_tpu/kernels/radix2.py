@@ -167,18 +167,26 @@ def inv_u64(
 # operation placement so its lazy intermediate bounds match the original.
 
 
-def _stage_fwd_u64(a, w, w_con, m: int, t: int, q: int):
+def _fwd_stage_tw_u64(a, wo, wc, m: int, t: int, q: int):
+    """One lazy Harvey forward stage with caller-provided twiddle views
+    (the shared stage core for the seal / layout-consumer / r4r2-tail
+    kernels; keeps the 4q->2q guard and +2q-before-subtract invariants in
+    ONE place)."""
     alo, ahi = a
     xlo, ylo = _split(alo, m, t)
     xhi, yhi = _split(ahi, m, t)
-    wo = (w[0][m : 2 * m].reshape(m, 1), w[1][m : 2 * m].reshape(m, 1))
-    wc = (w_con[0][m : 2 * m].reshape(m, 1), w_con[1][m : 2 * m].reshape(m, 1))
     x1 = mm.reduce_4q_to_2q((xlo, xhi), q)
     tt = mm.shoup_mul_q2(wo, wc, (ylo, yhi), q)
     q2 = mm.const_u64(2 * q)
     nx = mm.add64(x1, tt)
     ny = mm.sub64(mm.add64(x1, q2), tt)
     return _join(nx[0], ny[0]), _join(nx[1], ny[1])
+
+
+def _stage_fwd_u64(a, w, w_con, m: int, t: int, q: int):
+    wo = (w[0][m : 2 * m].reshape(m, 1), w[1][m : 2 * m].reshape(m, 1))
+    wc = (w_con[0][m : 2 * m].reshape(m, 1), w_con[1][m : 2 * m].reshape(m, 1))
+    return _fwd_stage_tw_u64(a, wo, wc, m, t, q)
 
 
 def fwd_seal_lazy_u64(a, w, w_con, q: int):
@@ -272,10 +280,12 @@ def _hexl_tw_view(tab, m: int, n: int):
     return tab[9 * n // 8 : 9 * n // 8 + n // 2].reshape(m, 1)
 
 
-# Inverses of the r2_16 table's lane interleaves (pre_compute.h:326-367):
-# FwdT2 emits groups in (0,0,2,2,1,1,3,3) order, FwdT1 in (0,4,1,5,2,6,3,7).
-_R2_16_T2_INV = np.array([0, 2, 1, 3])
-_R2_16_T1_INV = np.array([0, 2, 4, 6, 1, 3, 5, 7])
+# Inverses of the r2_16 table's lane interleaves, derived from the
+# canonical emission orders in twiddles.py (pre_compute.h:326-367).
+from ntt_tpu import twiddles as _tw  # noqa: E402 (canonical layout orders)
+
+_R2_16_T2_INV = np.argsort(_tw.T2_GROUP_ORDER)
+_R2_16_T1_INV = np.argsort(_tw.LANE_PERM)
 
 
 def _r2_16_tw_view(tab, m: int, n: int):
@@ -297,25 +307,16 @@ def _r2_16_tw_view(tab, m: int, n: int):
 def _fwd_lazy_u64_layout(a, tab, tab_con, q: int, tw_view):
     """Forward lazy radix-2 chain with per-stage twiddles read through a
     layout view function (HEXL / r2_16 table consumers)."""
-    alo, ahi = a
-    n = alo.shape[-1]
+    n = a[0].shape[-1]
     logn = n.bit_length() - 1
-    q2 = mm.const_u64(2 * q)
     m, t = 1, n >> 1
     for _ in range(logn):
-        xlo, ylo = _split(alo, m, t)
-        xhi, yhi = _split(ahi, m, t)
         wo = (tw_view(tab[0], m, n), tw_view(tab[1], m, n))
         wc = (tw_view(tab_con[0], m, n), tw_view(tab_con[1], m, n))
-        x1 = mm.reduce_4q_to_2q((xlo, xhi), q)
-        tt = mm.shoup_mul_q2(wo, wc, (ylo, yhi), q)
-        nx = mm.add64(x1, tt)
-        ny = mm.sub64(mm.add64(x1, q2), tt)
-        alo = _join(nx[0], ny[0])
-        ahi = _join(nx[1], ny[1])
+        a = _fwd_stage_tw_u64(a, wo, wc, m, t, q)
         m <<= 1
         t >>= 1
-    return alo, ahi
+    return a
 
 
 def fwd_hexl_lazy_u64(a, tab, tab_con, q: int):

@@ -256,7 +256,7 @@ def _r4_vec_w5(tab, tab_con, kind: str, idx0: int, m: int):
     ]
 
 
-_VEC_LANE_PERM = np.array([0, 4, 1, 5, 2, 6, 3, 7])
+from ntt_tpu.twiddles import LANE_PERM as _VEC_LANE_PERM  # noqa: E402
 
 
 def fwd_vec_lazy_u64(a: mm.U64Pair, tab: mm.U64Pair, tab_con: mm.U64Pair,

@@ -98,7 +98,10 @@ class NttPlan:
         return tw.calc_w_con(self.w_r2_16, self.q, 64)
 
     def w_r4_vec(self, unordered: bool = False) -> np.ndarray:
-        return tw.expand_w_r4(self.w, self.q, unordered)
+        cache = self.__dict__.setdefault("_r4_vec_cache", {})
+        if unordered not in cache:
+            cache[unordered] = tw.expand_w_r4(self.w, self.q, unordered)
+        return cache[unordered]
 
     @functools.cached_property
     def w_r4r2(self) -> np.ndarray:

@@ -118,7 +118,14 @@ def expand_w_hexl(w_tab: np.ndarray) -> np.ndarray:
     return out
 
 
-_LANE_PERM = np.array([0, 4, 1, 5, 2, 6, 3, 7])  # permute_w (pre_compute.h:139-152)
+# Canonical emission orders of the SIMD layouts (single source of truth;
+# kernels and layout descriptors derive their inverses from these):
+# permute_w's 8-lane shuffle (pre_compute.h:139-152) ...
+LANE_PERM = np.array([0, 4, 1, 5, 2, 6, 3, 7])
+# ... and the FwdT2 per-4-group emission order (the (0,0,2,2,1,1,3,3)
+# pattern is T2_GROUP_ORDER with each entry duplicated).
+T2_GROUP_ORDER = np.array([0, 2, 1, 3])
+_LANE_PERM = LANE_PERM  # internal alias used by the builders below
 
 
 def _quintuple(w, w_idx: int, q: int) -> list[int]:
