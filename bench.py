@@ -222,7 +222,15 @@ def suite(args) -> None:
         f"N=2^{p.m}, batch={args.batch}:", file=sys.stderr,
     )
     results = {}
-    for name, (body, rep) in sorted(_suite_bodies(plan).items()):
+    bodies = _suite_bodies(plan)
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - set(bodies)
+        if unknown:
+            raise SystemExit(f"unknown suite bodies {sorted(unknown)}; "
+                             f"have {sorted(bodies)}")
+        bodies = {k: v for k, v in bodies.items() if k in keep}
+    for name, (body, rep) in sorted(bodies.items()):
         x0 = a32 if rep == "u32" else a64
         sec = _measure_loop(body, x0, reps=args.reps, k1=2, k2=2 + args.inner)
         results[name] = {
@@ -277,6 +285,10 @@ def main() -> None:
     ap.add_argument("--suite", action="store_true")
     ap.add_argument("--suite-json", default="bench_suite.json",
                     help="where --suite writes its per-variant JSON table")
+    ap.add_argument("--only", default=None,
+                    help="comma list of suite bodies to measure (the analog "
+                    "of the reference's single-function bench mode, "
+                    "tests/main.c:12-17)")
     ap.add_argument("--peak-gbs", type=float, default=819.0,
                     help="HBM peak for the roofline line (v5e ~819 GB/s)")
     ap.add_argument("--profile-dir", default=None,
