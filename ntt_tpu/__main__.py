@@ -41,7 +41,12 @@ def cmd_correctness(args) -> int:
     from ntt_tpu.params import FIXTURES
     from ntt_tpu.plan import get_plan
 
-    fixtures = FIXTURES if args.full else [FIXTURES[i] for i in (0, 1, 2, 3, 9, 13)]
+    if args.fixtures:
+        fixtures = [FIXTURES[int(i)] for i in args.fixtures.split(",")]
+    else:
+        fixtures = FIXTURES if args.full else [
+            FIXTURES[i] for i in (0, 1, 2, 3, 9, 13)
+        ]
     if args.skip is None:
         # on TPU the real Mosaic kernels are checked like every other
         # variant (the reference memcmps every variant it benches,
@@ -93,6 +98,8 @@ def main() -> int:
     sub.add_parser("list")
     c = sub.add_parser("correctness")
     c.add_argument("--full", action="store_true", help="all 19 reference fixtures")
+    c.add_argument("--fixtures", default=None,
+                   help="comma list of fixture indices (0..18) to sweep")
     c.add_argument("--seed", type=int, default=0)
     c.add_argument(
         "--skip", default=None,
