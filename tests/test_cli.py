@@ -43,7 +43,8 @@ def test_correctness_subset(capsys, monkeypatch):
     # cmd_correctness imports FIXTURES by name from ntt_tpu.params
     import argparse
 
-    args = argparse.Namespace(full=True, seed=1, skip="pallas-fused,r2-16")
+    args = argparse.Namespace(full=True, fixtures=None, seed=1,
+                              skip="pallas-fused,r2-16")
     rc = cli.cmd_correctness(args)
     out = capsys.readouterr().out
     assert rc == 0 and "FAILURES: 0" in out
