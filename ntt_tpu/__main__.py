@@ -50,11 +50,11 @@ def cmd_correctness(args) -> int:
     if args.skip is None:
         # on TPU the real Mosaic kernels are checked like every other
         # variant (the reference memcmps every variant it benches,
-        # tests/test_correctness.c:271-282); off-TPU the interpreter is too
-        # slow for a default sweep
+        # tests/test_correctness.c:271-282); off-TPU only the Pallas
+        # interpreter is too slow for a default sweep
         import jax
 
-        args.skip = "" if jax.default_backend() == "tpu" else "pallas-fused,r2-16"
+        args.skip = "" if jax.default_backend() == "tpu" else "pallas-fused"
     skip = set(args.skip.split(",")) if args.skip else set()
     rng = np.random.default_rng(args.seed)
     failures = 0
@@ -104,7 +104,7 @@ def main() -> int:
     c.add_argument(
         "--skip", default=None,
         help="comma-separated variants to skip (default: none on TPU; "
-        "'pallas-fused,r2-16' off-TPU where the interpreter is too slow; "
+        "'pallas-fused' off-TPU where the interpreter is too slow; "
         "pass --skip '' to include everything)",
     )
     b = sub.add_parser("bench")

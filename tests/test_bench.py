@@ -1,0 +1,59 @@
+"""bench.py termination guarantee: the driver JSON line is ALWAYS emitted
+within the wall-clock budget (round-2 regression: the official capture
+timed out with rc=124 and no JSON, BENCH_r02.json).
+
+Run as subprocesses because the watchdog path ends with os._exit(0).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_bench(extra_env=None, args=()):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_ntt_tpu_tests")
+    env.update(extra_env or {})
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--platform", "cpu",
+         "--batch", "4", "--m", "8", "--q-bits", "27", "--reps", "1",
+         "--inner", "4", *args],
+        capture_output=True, text=True, timeout=240, cwd=REPO, env=env,
+    )
+
+
+def _json_lines(stdout: str):
+    out = []
+    for line in stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            out.append(json.loads(line))
+    return out
+
+
+def test_bench_emits_single_json_line():
+    r = _run_bench(args=("--budget-s", "180"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = _json_lines(r.stdout)
+    assert len(lines) == 1, r.stdout
+    j = lines[0]
+    assert j["unit"] == "transforms/s" and j["value"] > 0
+    # metric name is self-describing: N, q width, and batch
+    assert "N2^8" in j["metric"] and "q27bit" in j["metric"]
+    assert "batch4" in j["metric"]
+
+
+def test_bench_watchdog_emits_json_when_wedged():
+    """A wedged measurement (simulated via the NTT_BENCH_HANG_S hook) must
+    still produce rc=0 and a JSON line before the budget expires."""
+    r = _run_bench(extra_env={"NTT_BENCH_HANG_S": "600"},
+                   args=("--budget-s", "25"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = _json_lines(r.stdout)
+    assert len(lines) == 1, r.stdout
+    assert lines[0]["unit"] == "transforms/s"
+    assert "degraded" in lines[0]
