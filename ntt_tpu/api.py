@@ -763,17 +763,35 @@ def _r4_vec_unord_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
     return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_inv_r4_vec(q: int, n_inv_op: int, n_inv_con: int):
+    def core(alo, ahi, tlo, thi, clo, chi):
+        return radix4.inv_vec_u64(
+            (alo, ahi), (tlo, thi), (clo, chi), n_inv_op, n_inv_con, q
+        )
+
+    return jax.jit(core)
+
+
+def _r4_vec_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    tab, tab_con = plan.dev_r4_vec_inv_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_inv_r4_vec(plan.q, plan.params.n_inv, plan.n_inv_con)
+    return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
+
+
 register(
     Variant(
         "radix4-vec",
         fwd=_r4_vec_fwd,
-        inv=_r4_u64_inv,
+        inv=_r4_vec_inv,
         max_q_bits=61,
         description="radix-4 over the 5N vector twiddle layout "
         "(src/ntt_radix4_avx512_ifma.c): leading radix-2 stage for odd "
         "log2 N, quintuples walked off the FWD8/FWD4/FWD1 regions of "
-        "expand_w_r4 in emission order; inverse is new scope (reference "
-        "is forward-only)",
+        "expand_w_r4 in emission order; inverse (new scope -- the "
+        "reference is forward-only) consumes the inverse root's 5N table "
+        "regions in reverse emission order",
     )
 )
 register(
@@ -798,8 +816,10 @@ register(
         "consumes the 13N/8 duplicated twiddle layout (expand_w_hexl) -- "
         "the x4/x2 tail segments are read as the pre-broadcast (m, t) "
         "views directly; input_mod_factor<=4 / output_mod_factor in {1,4} "
-        "via the lazy flag; the reference port is forward-only, the "
-        "inverse here is new scope",
+        "via the lazy flag; the reference port is forward-only -- the "
+        "inverse here is new scope and INTENTIONALLY uses the plain "
+        "bit-reversed table kernel (the 13N/8 duplication only benefits "
+        "the forward tail-stage read pattern)",
     )
 )
 register(
@@ -810,7 +830,9 @@ register(
         description="pure radix-2 with fused last-stage tail tables "
         "(src/ntt_r2_16_avx512_ifma.c): consumes the 3N expand_w_r2_16 "
         "layout, reading the FwdT2/FwdT1 segments through the documented "
-        "inverse of their lane interleaves; inverse is new scope",
+        "inverse of their lane interleaves; inverse is new scope and "
+        "INTENTIONALLY uses the plain bit-reversed table kernel (the 3N "
+        "duplication only benefits the forward tail-stage read pattern)",
     )
 )
 
@@ -842,7 +864,10 @@ class DeviceNtt:
         intermediates VMEM-resident below ~32MB working sets, docs/PERF.md);
         tiling recovers most of the small-batch rate for large serving
         batches (measured u64 N=2^14: batch 1024 direct 8.5 us/t, tiled
-        by 128 -> 6.2).  Batch must divide by the tile."""
+        by 128 -> 6.2).  Batches that are <= the tile or not divisible by
+        it fall back to the direct (untiled) program -- correct but
+        measurably slower for large batches, so size serving batches as a
+        multiple of the tile."""
         self.plan = _resolve(params_or_plan)
         self._batch_tile = batch_tile
         plan = self.plan

@@ -318,6 +318,55 @@ def fwd_vec_u64(a, tab, tab_con, q: int, unordered: bool = False):
     return mm.reduce_8q_to_q(fwd_vec_lazy_u64(a, tab, tab_con, q, unordered), q)
 
 
+def inv_vec_u64(a: mm.U64Pair, tab: mm.U64Pair, tab_con: mm.U64Pair,
+                n_inv_op: int, n_inv_con: int, q: int):
+    """Inverse radix-4 consuming the 5N vec table's regions in REVERSE
+    emission order -- the layout-native inverse the reference never shipped
+    (its IFMA variants are forward-only; blueprint: the scalar inverse
+    src/ntt_radix4.c:64-114 + the region map _r4_vec_offsets).
+
+    ``tab``/``tab_con`` are expand_w_r4 of the INVERSE root
+    (plan.dev_r4_vec_inv_u64): the FWD1 region feeds the FIRST inverse
+    stage, then FWD4, then the FWD8 runs walked backwards; for odd log2 N
+    the forward's LEADING radix-2 stage is undone by a TRAILING
+    Gentleman-Sande sweep with twiddle tab[1].  Accepts inputs < 8q (a
+    lazy forward output); strict output with the trailing n_inv scale."""
+    alo, ahi = a
+    n = alo.shape[-1]
+    lead = alo.shape[:-1]
+    logn = n.bit_length() - 1
+    even = logn % 2 == 0
+    offsets = _r4_vec_offsets(n)
+    alo, ahi = mm.reduce_8q_to_2q((alo, ahi), q)
+    for m in sorted(offsets, reverse=True):
+        kind, idx0 = offsets[m]
+        t = n // (4 * m)
+        w5 = _r4_vec_w5(tab, tab_con, kind, idx0, m)
+        xs = _split4(alo, m, t)
+        hs = _split4(ahi, m, t)
+        outs = _r4_inv_bfly_u64(
+            (xs[0], hs[0]), (xs[1], hs[1]), (xs[2], hs[2]), (xs[3], hs[3]),
+            w5, q,
+        )
+        alo = _join4([o[0] for o in outs], lead, n)
+        ahi = _join4([o[1] for o in outs], lead, n)
+    if not even:
+        # trailing radix-2: undo the forward's leading (i, i + n/2) stage
+        h = n >> 1
+        x = (alo[..., :h], ahi[..., :h])
+        y = (alo[..., h:], ahi[..., h:])
+        wo = (tab[0][1:2], tab[1][1:2])
+        wc = (tab_con[0][1:2], tab_con[1][1:2])
+        q2 = mm.const_u64(2 * q)
+        nx = mm.reduce_4q_to_2q(mm.add64(x, y), q)
+        ny = mm.shoup_mul_q2(wo, wc, mm.sub64(mm.add64(x, q2), y), q)
+        alo = jnp.concatenate([nx[0], ny[0]], axis=-1)
+        ahi = jnp.concatenate([nx[1], ny[1]], axis=-1)
+    ninv = mm.const_u64(n_inv_op)
+    ninv_c = mm.const_u64(n_inv_con)
+    return mm.shoup_mul_q(ninv, ninv_c, (alo, ahi), q)
+
+
 # ---------------------------------------------------------------------------
 # u32 path (q < 2^28: dual-Shoup needs t1+t2 < 16q <= 2^32; word_size=32)
 # ---------------------------------------------------------------------------

@@ -181,6 +181,20 @@ class NttPlan:
         )
 
     @functools.cached_property
+    def w_r4_vec_inv(self) -> np.ndarray:
+        """5N vec layout of the INVERSE root (new scope: the reference's
+        vec variants are forward-only), consumed by radix4.inv_vec_u64."""
+        return tw.expand_w_r4(self.w_inv, self.q, False)
+
+    @functools.cached_property
+    def w_r4_vec_inv_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_r4_vec_inv, self.q, 64)
+
+    @functools.cached_property
+    def dev_r4_vec_inv_u64(self):
+        return mm.from_u64(self.w_r4_vec_inv), mm.from_u64(self.w_r4_vec_inv_con)
+
+    @functools.cached_property
     def dev_hexl_u64(self):
         """(table, table_con) of the 13N/8 HEXL layout as u32 limb pairs."""
         return mm.from_u64(self.w_hexl), mm.from_u64(self.w_hexl_con)

@@ -107,6 +107,24 @@ def test_radix4_vec_bitexact(p, rng):
     np.testing.assert_array_equal(api.inv_ntt(got, p, variant="radix4-vec"), a)
 
 
+@pytest.mark.parametrize("p", [FIXTURES_ALL[0], FIXTURES_ALL[13],
+                               FIXTURES_ALL[15]], ids=fixture_id)
+def test_radix4_vec_layout_native_inverse(p, rng):
+    """The radix4-vec inverse consumes the INVERSE root's 5N vec table
+    (plan.dev_r4_vec_inv_u64) in reverse emission order -- it is a distinct
+    dataflow from the plain radix4 inverse, and round-trips from both the
+    strict and the lazy (8q-bound) forward."""
+    if p.q.bit_length() > 61:
+        pytest.skip("radix-4 family bound")
+    v = api.get_variant("radix4-vec")
+    assert v.inv is not api.get_variant("radix4").inv
+    a = make_input(rng, p.n, p.q)
+    f = api.fwd_ntt(a, p, variant="radix4-vec")
+    np.testing.assert_array_equal(api.inv_ntt(f, p, variant="radix4-vec"), a)
+    fl = api.fwd_ntt(a, p, variant="radix4-vec", lazy=True)
+    np.testing.assert_array_equal(api.inv_ntt(fl, p, variant="radix4-vec"), a)
+
+
 def test_radix4_vec_unordered_layout(rng):
     """The unordered variant's output equals the oracle after the
     documented layout fix-up (fix_a_order analog)."""
