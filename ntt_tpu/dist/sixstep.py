@@ -49,6 +49,48 @@ def init_multihost(coordinator_address: str | None = None,
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
+def _global_rep(rep_host, mesh: Mesh, spec) -> tuple:
+    """Host limb arrays -> jax Arrays for `mesh`.  Single-process: plain
+    device arrays (jit shards them).  Multi-process (after
+    init_multihost): build GLOBAL arrays -- every process holds the full
+    host value (the test/demo contract; production feeds per-process
+    shards the same way) and contributes its addressable shards."""
+    if jax.process_count() == 1:
+        return tuple(jnp.asarray(l) for l in rep_host)
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, spec)
+    return tuple(
+        jax.make_array_from_callback(
+            l.shape, sh, lambda idx, l=l: np.asarray(l)[idx]
+        )
+        for l in rep_host
+    )
+
+
+def _collect(out, ops) -> np.ndarray:
+    """Global output rep -> full host uint64 array on every process."""
+    if jax.process_count() == 1:
+        return ops.to_host(out)
+    from jax.experimental import multihost_utils
+
+    gathered = tuple(
+        multihost_utils.process_allgather(l, tiled=True) for l in out
+    )
+    return ops.to_host(gathered)
+
+
+def _host_limbs(a: np.ndarray, ops) -> tuple:
+    """uint64 host array -> host limb arrays matching ops' rep."""
+    a = np.asarray(a, dtype=np.uint64)
+    if ops.nlimb == 1:
+        return (a.astype(np.uint32),)
+    return (
+        (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (a >> np.uint64(32)).astype(np.uint32),
+    )
+
+
 def default_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
@@ -64,7 +106,21 @@ def mesh_2d(n_dp: int, n_sp: int, axes: tuple[str, str] = ("dp", "x")) -> Mesh:
     return jax.make_mesh((n_dp, n_sp), axes, devices=devs)
 
 
-def _tables(plan: NttPlan, inverse: bool):
+def _tables(plan: NttPlan, inverse: bool, mesh: Mesh | None = None):
+    """(ops, w_rep, wc_rep) twiddle tables for the dist kernels.  On a
+    multi-process runtime the tables are built as replicated GLOBAL arrays
+    for `mesh`; single-process uses the plan's cached device tables."""
+    if mesh is not None and jax.process_count() > 1:
+        ops = U32Ops if plan.supports_u32_radix2 else U64Ops
+        if plan.supports_u32_radix2:
+            w_np = plan.w_inv if inverse else plan.w
+            wc_np = plan.w_inv_con32 if inverse else plan.w_con32
+        else:
+            w_np = plan.w_inv if inverse else plan.w
+            wc_np = plan.w_inv_con if inverse else plan.w_con
+        w = _global_rep(_host_limbs(w_np, ops), mesh, P(None))
+        wc = _global_rep(_host_limbs(wc_np, ops), mesh, P(None))
+        return ops, w, wc
     if plan.supports_u32_radix2:
         w, wc, wi, wic = plan.dev_r2_u32
         return (U32Ops, (wi,), (wic,)) if inverse else (U32Ops, (w,), (wc,))
@@ -254,14 +310,14 @@ def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     n1 = 1 << n1_log
     n2 = 1 << (logn - n1_log)
 
-    ops, w, wc = _tables(plan, inverse=False)
+    ops, w, wc = _tables(plan, inverse=False, mesh=mesh)
     a = np.asarray(a, dtype=np.uint64)
     a3 = a.reshape((-1, n1, n2))
-    rep = ops.from_host(a3)
+    rep = _global_rep(_host_limbs(a3, ops), mesh, P(batch_axis, None, axis))
     fn = _jit_dist_fwd(plan.q, n, n1_log, ops.nlimb, ndev, axis, not lazy,
                        mesh, batch_axis, n_chunks)
     out = fn(*rep, *w, *wc)
-    return ops.to_host(out).reshape(a.shape)
+    return _collect(out, ops).reshape(a.shape)
 
 
 def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
@@ -280,7 +336,7 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     n1 = 1 << n1_log
     n2 = 1 << (logn - n1_log)
 
-    ops, w, wc = _tables(plan, inverse=True)
+    ops, w, wc = _tables(plan, inverse=True, mesh=mesh)
     word = 32 if ops is U32Ops else 64
     ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
     f_tmp, f_con = radix2._final_mulop(
@@ -288,13 +344,13 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     )
     a = np.asarray(a, dtype=np.uint64)
     a3 = a.reshape((-1, n1, n2))
-    rep = ops.from_host(a3)
+    rep = _global_rep(_host_limbs(a3, ops), mesh, P(batch_axis, axis, None))
     fn = _jit_dist_inv(
         plan.q, n, n1_log, ops.nlimb, ndev, axis,
         plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis, n_chunks,
     )
     out = fn(*rep, *w, *wc)
-    return ops.to_host(out).reshape(a.shape)
+    return _collect(out, ops).reshape(a.shape)
 
 
 @functools.lru_cache(maxsize=None)
@@ -370,8 +426,8 @@ def dist_negacyclic_mul(a: np.ndarray, b: np.ndarray, plan: NttPlan,
     n1 = 1 << n1_log
     n2 = 1 << (logn - n1_log)
 
-    ops, w, wc = _tables(plan, inverse=False)
-    _, wi, wic = _tables(plan, inverse=True)
+    ops, w, wc = _tables(plan, inverse=False, mesh=mesh)
+    _, wi, wic = _tables(plan, inverse=True, mesh=mesh)
     word = 32 if ops is U32Ops else 64
     ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
     f_tmp, f_con = radix2._final_mulop(
@@ -379,14 +435,15 @@ def dist_negacyclic_mul(a: np.ndarray, b: np.ndarray, plan: NttPlan,
     )
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
-    rep_a = ops.from_host(a.reshape((-1, n1, n2)))
-    rep_b = ops.from_host(b.reshape((-1, n1, n2)))
+    io_spec = P(batch_axis, None, axis)
+    rep_a = _global_rep(_host_limbs(a.reshape((-1, n1, n2)), ops), mesh, io_spec)
+    rep_b = _global_rep(_host_limbs(b.reshape((-1, n1, n2)), ops), mesh, io_spec)
     fn = _jit_dist_polymul(
         plan.q, n, n1_log, ops.nlimb, ndev, axis,
         plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis, n_chunks,
     )
     out = fn(*rep_a, *rep_b, *w, *wc, *wi, *wic)
-    return ops.to_host(out).reshape(a.shape)
+    return _collect(out, ops).reshape(a.shape)
 
 
 def batch_parallel_fwd(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
