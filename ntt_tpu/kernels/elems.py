@@ -109,9 +109,7 @@ class U64Ops:
         big_q = mm.mulhi64(c_lo, t)
         if con >> 64:
             big_q = mm.add64(big_q, t)
-        res = mm.sub64(
-            mm.mul64_lo(mm.const_u64(tmp), t), mm.mul64_lo(big_q, mm.const_u64(q))
-        )
+        res = mm.sub64(mm.mul64_lo_const(t, tmp), mm.mul64_lo_const(big_q, q))
         return nx, mm.reduce_2q_to_q(res, q)
 
     @staticmethod

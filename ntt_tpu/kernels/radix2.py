@@ -146,7 +146,7 @@ def inv_u64(
     big_q = mm.mulhi64(c_lo, tt)
     if c_hi:
         big_q = mm.add64(big_q, tt)
-    res = mm.sub64(mm.mul64_lo(mm.const_u64(tmp), tt), mm.mul64_lo(big_q, mm.const_u64(q)))
+    res = mm.sub64(mm.mul64_lo_const(tt, tmp), mm.mul64_lo_const(big_q, q))
     ny = mm.reduce_2q_to_q(res, q)
     alo = jnp.concatenate([nx[0], ny[0]], axis=-1)
     ahi = jnp.concatenate([nx[1], ny[1]], axis=-1)
@@ -245,8 +245,8 @@ def inv_seal_u64(a, w, w_con, n_inv_op: int, n_inv_con: int, w1_scalar: int,
     big_q = mm.mulhi64(r_lo, d)
     if scaled_r_con >> 64:
         big_q = mm.add64(big_q, d)
-    ny = mm.sub64(mm.mul64_lo(mm.const_u64(scaled_r), d),
-                  mm.mul64_lo(big_q, mm.const_u64(q)))  # mul_root, < 2q
+    ny = mm.sub64(mm.mul64_lo_const(d, scaled_r),
+                  mm.mul64_lo_const(big_q, q))  # mul_root, < 2q
     alo = jnp.concatenate([nx[0], ny[0]], axis=-1)
     ahi = jnp.concatenate([nx[1], ny[1]], axis=-1)
     # trailing full sweep (ntt_seal.c:240-243)

@@ -22,6 +22,8 @@ IFMA path (52-bit words for q < 2^49, defs.h:44-62).
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -127,6 +129,59 @@ def mul64_lo(a: U64Pair, b: U64Pair) -> U64Pair:
     return lo, hi
 
 
+def shl64(x: U64Pair, k: int) -> U64Pair:
+    """x << k mod 2^64 on a limb pair, trace-time-constant k in [0, 64)."""
+    if k == 0:
+        return x
+    lo, hi = x
+    if k >= 32:
+        return jnp.zeros_like(lo), lo << (k - 32) if k > 32 else lo
+    return lo << k, (hi << k) | (lo >> (32 - k))
+
+
+def _naf_digits(c: int) -> list[tuple[int, int]]:
+    """Non-adjacent-form of c as [(sign, shift)]: c = sum sign * 2^shift.
+    Minimal-weight signed-binary decomposition (host-side, trace time)."""
+    digs = []
+    k = 0
+    while c:
+        if c & 1:
+            d = 2 - (c & 3)  # +-1
+            digs.append((d, k))
+            c -= d
+        c >>= 1
+        k += 1
+    return digs
+
+
+def mul64_lo_const(x: U64Pair, c: int) -> U64Pair:
+    """x * c mod 2^64 for a trace-time constant c.  When c is sparse in
+    signed-binary form -- e.g. Solinas/Goldilocks-style NTT primes like
+    2^62 - 2^16 + 1 -- the product becomes a chain of limb shifts and
+    adds, removing all 6 multiplies of the generic path.  This is the
+    multiply the Shoup correction term Q*q spends per butterfly
+    (fast_mul_operators.h:49-54's `Q * q`), so for Solinas moduli every
+    Shoup multiply drops from 22+ to 16-ish native u32 multiplies.
+    Falls back to mul64_lo for dense constants.  Bit-exact mod 2^64."""
+    digs = _naf_digits(c & ((1 << 64) - 1))
+    if len(digs) > 4:
+        return mul64_lo(x, const_u64(c))
+    acc = None
+    for sign, k in digs:
+        if k >= 64:
+            continue
+        term = shl64(x, k)
+        if acc is None:
+            acc = term if sign > 0 else sub64((jnp.zeros_like(x[0]),) * 2, term)
+        elif sign > 0:
+            acc = add64(acc, term)
+        else:
+            acc = sub64(acc, term)
+    if acc is None:
+        return jnp.zeros_like(x[0]), jnp.zeros_like(x[1])
+    return acc
+
+
 def mul64_full(a: U64Pair, b: U64Pair):
     """All 128 bits of a 64x64 product, as 4 uint32 limbs (p0..p3, LSB first)."""
     ll_lo, ll_hi = mul32_full(a[0], b[0])
@@ -156,56 +211,80 @@ def mulhi64(a: U64Pair, b: U64Pair) -> U64Pair:
     return p2, p3
 
 
+def _carry32(x, y, s):
+    """Carry-out bit of the uint32 sum s = x + y, as uint32 0/1 -- computed
+    purely bitwise (no compare, no select).  The original comparison-based
+    carries ((s < x) bool chains folded through jnp.where) were miscompiled
+    by an XLA:TPU fusion inside the full six-step program
+    (artifacts/KARA_TPU_MISCOMPILE_r02.log); the bitwise form avoids the
+    bool/select pattern entirely."""
+    return ((x & y) | ((x | y) & ~s)) >> 31
+
+
+def _borrow32(x, y, d):
+    """Borrow-out bit of the uint32 difference d = x - y, as uint32 0/1
+    (bitwise; see _carry32)."""
+    return ((~x & y) | ((~x | y) & d)) >> 31
+
+
 def mulhi64_kara(a: U64Pair, b: U64Pair) -> U64Pair:
     """mulhi64 via Karatsuba on the 32-bit limbs: 3 full 32x32 products
     (12 native multiplies) instead of schoolbook's 4 (16), at the price of
-    a longer add/borrow chain.  The 33-bit limb sums are carried as
-    (u32, carry-bit) pairs so every multiply stays a 32x32 one.
+    a longer add/borrow chain.
 
     product = ll + (lh + hl)*2^32 + hh*2^64 with
     lh + hl = (a0+a1)(b0+b1) - ll - hh; then
     hi64 = hh + ((m + ll_hi) >> 32).  Bit-exact with mulhi64 (property
-    tested); used by the Shoup multiply where multiply issue rate is the
-    VPU bottleneck."""
+    tested on CPU and TPU).
+
+    All carries/borrows are extracted with pure bitwise formulas
+    (_carry32/_borrow32) and the conditional 2^32-weight terms are applied
+    with and-masks -- round 2's comparison+where formulation hit a
+    reproduced XLA:TPU fusion miscompile in exactly those chains
+    (artifacts/KARA_TPU_MISCOMPILE_r02.log, docs/PERF.md)."""
     a0, a1 = a
     b0, b1 = b
     ll_lo, ll_hi = mul32_full(a0, b0)
     hh_lo, hh_hi = mul32_full(a1, b1)
     sa = a0 + a1
-    ca = sa < a0
+    ca = _carry32(a0, a1, sa)
     sb = b0 + b1
-    cb = sb < b0
+    cb = _carry32(b0, b1, sb)
     sp_lo, sp_hi = mul32_full(sa, sb)
-    # P = (a0+a1)(b0+b1) as 3 limbs (p0, p1, p2)
-    zero = jnp.zeros_like(sp_hi)
-    add_a = jnp.where(ca, sb, zero)
-    add_b = jnp.where(cb, sa, zero)
+    # P = (a0+a1)(b0+b1) as 3 limbs (sp_lo, p1, p2);
+    # ca ? sb : 0 == sb & (0 - ca)  (mask, no select)
+    add_a = sb & (U32(0) - ca)
+    add_b = sa & (U32(0) - cb)
     t1 = sp_hi + add_a
-    c1 = (t1 < sp_hi).astype(U32)
+    c1 = _carry32(sp_hi, add_a, t1)
     p1 = t1 + add_b
-    c2 = (p1 < t1).astype(U32)
-    p2 = (ca & cb).astype(U32) + c1 + c2
+    c2 = _carry32(t1, add_b, p1)
+    p2 = (ca & cb) + c1 + c2
     # S = ll + hh as 3 limbs
     s0 = ll_lo + hh_lo
-    cs0 = (s0 < ll_lo).astype(U32)
+    cs0 = _carry32(ll_lo, hh_lo, s0)
     s1a = ll_hi + hh_hi
-    cs1a = (s1a < ll_hi).astype(U32)
+    cs1a = _carry32(ll_hi, hh_hi, s1a)
     s1 = s1a + cs0
-    cs1b = (s1 < s1a).astype(U32)
+    cs1b = _carry32(s1a, cs0, s1)
     s2 = cs1a + cs1b
-    # m = P - S  (= lh + hl, fits 65 bits)
+    # m = P - S  (= lh + hl, fits 65 bits; borrows cannot double-fire)
     m0 = sp_lo - s0
-    bw0 = (sp_lo < s0).astype(U32)
-    m1 = p1 - s1 - bw0
-    bw1 = ((p1 < s1) | ((p1 == s1) & (bw0 > 0))).astype(U32)
-    m2 = p2 - s2 - bw1
+    bw0 = _borrow32(sp_lo, s0, m0)
+    d1 = p1 - s1
+    b1a = _borrow32(p1, s1, d1)
+    m1 = d1 - bw0
+    b1b = _borrow32(d1, bw0, m1)
+    m2 = p2 - s2 - (b1a | b1b)
     # hi64 = hh + ((m + ll_hi) >> 32)
     t0 = m0 + ll_hi
-    c0 = (t0 < m0).astype(U32)
+    c0 = _carry32(m0, ll_hi, t0)
     r_lo = m1 + c0
-    cr = (r_lo < m1).astype(U32)
+    cr = _carry32(m1, c0, r_lo)
     r_hi = m2 + cr
-    return add64((hh_lo, hh_hi), (r_lo, r_hi))
+    o_lo = hh_lo + r_lo
+    oc = _carry32(hh_lo, r_lo, o_lo)
+    return o_lo, hh_hi + r_hi + oc
 
 
 def add128(a4, b4):
@@ -264,11 +343,23 @@ def reduce_8q_to_q(v, q: int):
 # ---------------------------------------------------------------------------
 
 
+# Which mulhi64 the Shoup multiply uses.  "kara" selects the 12-multiply
+# Karatsuba form (vs schoolbook's 16); resolved at TRACE time, so flip it
+# (env NTT_MULHI64=kara, or set USE_KARA before building jitted programs)
+# before any jit cache fills.
+USE_KARA = os.environ.get("NTT_MULHI64", "") == "kara"
+
+
+def mulhi64_shoup(a: U64Pair, b: U64Pair) -> U64Pair:
+    return mulhi64_kara(a, b) if USE_KARA else mulhi64(a, b)
+
+
 def shoup_mul_q2(w: U64Pair, w_con: U64Pair, t: U64Pair, q: int) -> U64Pair:
-    """(w*t - hi64(w_con*t)*q) mod 2^64, in [0, 2q)."""
-    big_q = mulhi64(w_con, t)
-    qc = const_u64(q)
-    return sub64(mul64_lo(w, t), mul64_lo(big_q, qc))
+    """(w*t - hi64(w_con*t)*q) mod 2^64, in [0, 2q).  The Q*q correction
+    uses the constant-multiply specialization (shift/add chain for
+    Solinas-form q)."""
+    big_q = mulhi64_shoup(w_con, t)
+    return sub64(mul64_lo(w, t), mul64_lo_const(big_q, q))
 
 
 def shoup_mul_q(w, w_con, t, q: int) -> U64Pair:
@@ -280,9 +371,8 @@ def shoup_dbl_mul_q2(w1, w1c, w2, w2c, t1, t2, q: int) -> U64Pair:
     The u128 sum w1c*t1 + w2c*t2 is formed in 4 limbs; Q = its high 64."""
     p = add128(mul64_full(w1c, t1), mul64_full(w2c, t2))
     big_q = (p[2], p[3])
-    qc = const_u64(q)
     acc = add64(mul64_lo(w1, t1), mul64_lo(w2, t2))
-    return sub64(acc, mul64_lo(big_q, qc))
+    return sub64(acc, mul64_lo_const(big_q, q))
 
 
 # ---------------------------------------------------------------------------

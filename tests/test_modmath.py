@@ -178,3 +178,43 @@ def test_shoup_mul32():
     want = (w * t % np.uint64(q)).astype(np.uint64)
     assert (got < 2 * q).all()
     np.testing.assert_array_equal(got % np.uint64(q), want)
+
+
+def test_shl64():
+    rng = np.random.default_rng(15)
+    x = _rand_u64(rng, 512)
+    for k in (0, 1, 15, 16, 31, 32, 33, 47, 62, 63):
+        got = mm.to_u64(mm.shl64(mm.from_u64(x), k))
+        want = x << np.uint64(k) if k < 64 else np.zeros_like(x)
+        np.testing.assert_array_equal(got, want, err_msg=f"k={k}")
+
+
+def test_mul64_lo_const_solinas_and_dense():
+    rng = np.random.default_rng(16)
+    x = _rand_u64(rng, 2048)
+    consts = [
+        (1 << 62) - (1 << 16) + 1,   # the headline Solinas prime (3 digits)
+        (1 << 64) - (1 << 32) + 1,   # Goldilocks
+        0x80000001C0001,             # fixture 13 q (dense -> generic path)
+        3, 1, (1 << 63),
+    ]
+    for c in consts:
+        got = mm.to_u64(mm.mul64_lo_const(mm.from_u64(x), c))
+        want = (x.astype(object) * c % (1 << 64)).astype(np.uint64)
+        np.testing.assert_array_equal(got, want, err_msg=f"c={c:#x}")
+
+
+def test_shoup_mul_q2_solinas_q():
+    """The Shoup multiply with the constant-multiply Q*q specialization is
+    bit-exact at a Solinas q (the NAF shift/add path)."""
+    q = (1 << 62) - (1 << 16) + 1
+    rng = np.random.default_rng(17)
+    w = rng.integers(0, q, size=2048, dtype=np.uint64)
+    t = rng.integers(0, 4 * q, size=2048, dtype=np.uint64)
+    w_con = np.array([(int(wi) << 64) // q for wi in w], dtype=np.uint64)
+    got = mm.to_u64(
+        mm.shoup_mul_q2(mm.from_u64(w), mm.from_u64(w_con), mm.from_u64(t), q)
+    )
+    assert (got < 2 * q).all()
+    want = (w.astype(object) * t.astype(object) % q).astype(np.uint64)
+    np.testing.assert_array_equal(got % np.uint64(q), want)
