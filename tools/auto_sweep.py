@@ -1,0 +1,93 @@
+"""Small-N variant sweep backing api._auto_variant's decision table.
+
+Measures the strict forward of the candidate families (flat radix-2,
+six-step, radix-4 where legal) across sizes at both modulus widths, with
+the bench loop-differencing protocol.  The fastest family per (width, N)
+becomes _auto_variant's table; tests/test_auto_variant.py pins the table
+against the recorded sweep artifact.
+
+Usage (real TPU):  python tools/auto_sweep.py --out artifacts/AUTO_SWEEP_r03.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--ms", default="8,9,10,11,12,14")
+    ap.add_argument("--q-bits", default="27,62")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--target-s", type=float, default=1.5)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bench import _measure_loop
+    from ntt_tpu import modmath as mm
+    from ntt_tpu.kernels import radix2, radix4, sixstep as ss
+    from ntt_tpu.kernels.elems import U32Ops, U64Ops
+    from ntt_tpu.params import bench_params
+    from ntt_tpu.plan import get_plan
+
+    results = {}
+    for qb in (int(x) for x in args.q_bits.split(",")):
+        for m in (int(x) for x in args.ms.split(",")):
+            p = bench_params(m=m, q_bits=qb)
+            plan = get_plan(p)
+            q = plan.q
+            batch = args.batch or (256 if qb < 30 else 128)
+            rng = np.random.default_rng(0)
+            a = rng.integers(0, q, size=(batch, p.n), dtype=np.uint64)
+            bodies = {}
+            if plan.supports_u32_radix2:
+                w, wc, _, _ = plan.dev_r2_u32
+                x0 = jnp.asarray(a.astype(np.uint32))
+                bodies["radix2"] = lambda x: radix2.fwd_u32(x, w, wc, q)
+                bodies["sixstep"] = lambda x: ss.fwd_sixstep(
+                    (x,), U32Ops, (w,), (wc,), q, strict=True)[0]
+                if plan.supports_u32_radix4:
+                    w4, w4c, _, _ = plan.dev_r4_u32
+                    bodies["radix4"] = lambda x: radix4.fwd_u32(x, w4, w4c, q)
+            else:
+                wp, wcp, _, _ = plan.dev_r2_u64
+                x0 = mm.from_u64(a)
+                bodies["radix2"] = lambda x: radix2.fwd_u64(x, wp, wcp, q)
+                bodies["sixstep"] = lambda x: ss.fwd_sixstep(
+                    x, U64Ops, wp, wcp, q, strict=True)
+                if q.bit_length() <= 61:
+                    w4p, w4cp, _, _ = plan.dev_r4_u64
+                    bodies["radix4"] = lambda x: radix4.fwd_u64(
+                        x, (w4p[0], w4p[1]), (w4cp[0], w4cp[1]), q)
+            row = {}
+            for name, body in bodies.items():
+                sec = _measure_loop(body, x0, reps=args.reps, k1=2, k2=22,
+                                    target_s=args.target_s)
+                row[name] = round(sec / batch * 1e6, 4)
+                print(f"q{qb} m={m:2d} {name:8s} {row[name]:10.3f} us/t",
+                      file=sys.stderr, flush=True)
+            row["winner"] = min((v, k) for k, v in row.items())[1]
+            results[f"q{qb}_m{m}"] = {"batch": batch, **row}
+    out = json.dumps(results, indent=1)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+
+
+if __name__ == "__main__":
+    main()
