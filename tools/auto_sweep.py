@@ -11,6 +11,11 @@ Usage (real TPU):  python tools/auto_sweep.py --out artifacts/AUTO_SWEEP_r03.jso
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

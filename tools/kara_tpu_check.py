@@ -15,6 +15,11 @@ time).  Phase B also standalone-checks mulhi64_kara against schoolbook on
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 import numpy as np
