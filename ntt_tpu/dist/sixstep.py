@@ -136,9 +136,14 @@ def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
     -> transposed local layout (..., N2, N1/D).
 
     n_chunks > 1 splits the collective into column chunks: phase 2 is
-    independent per column, so chunking is exact and lets XLA's
+    independent per column, so chunking is exact and -- on backends whose
+    collectives lower to async start/done pairs (XLA:TPU) -- lets the
     latency-hiding scheduler overlap chunk c+1's collective with chunk c's
     compute (comm/compute overlap without a hand-rolled Pallas ring).
+    XLA:CPU lowers all-to-all synchronously (zero async pairs in the
+    scheduled HLO), so CPU-mesh timings exercise only the chunking's
+    working-set effect -- measured evidence in docs/PERF.md ("Chunked
+    comm/compute overlap") and artifacts/OVERLAP_STUDY_r03.log.
     Device d's output columns come from row-block d WITHIN each source
     shard, so a chunk slices inside each of the D local row-blocks (view
     rows as (D, N1/D) and cut the inner axis); chunk c then lands on

@@ -344,20 +344,147 @@ def reduce_8q_to_q(v, q: int):
 
 
 # Which mulhi64 the Shoup multiply uses.  "kara" selects the 12-multiply
-# Karatsuba form (vs schoolbook's 16); resolved at TRACE time, so flip it
-# (env NTT_MULHI64=kara, or set USE_KARA before building jitted programs)
-# before any jit cache fills.
+# Karatsuba form (vs schoolbook's 16); "approx" the 12-multiply truncated
+# schoolbook (quotient error <= 1, repaired by one cond_sub64 inside
+# shoup_mul_q2).  Resolved at TRACE time, so flip it (env NTT_MULHI64=
+# kara|approx, or set USE_KARA/USE_APPROX before building jitted
+# programs) before any jit cache fills.
 USE_KARA = os.environ.get("NTT_MULHI64", "") == "kara"
+USE_APPROX = os.environ.get("NTT_MULHI64", "") == "approx"
+
+
+def mulhi64_approx(a: U64Pair, b: U64Pair) -> U64Pair:
+    """floor((a*b - a0*b0) / 2^64) = mulhi64(a, b) - e with e in {0, 1}:
+    schoolbook with the low*low 32x32 product dropped entirely (a0*b0 <
+    2^64, so the 2^64-quotient loses at most 1).  Costs 3 full 32x32
+    products (12 native u16-half multiplies) like Karatsuba, but with the
+    schoolbook's SHORT carry chain -- the truncated-quotient Shoup trick
+    (the quotient slack Harvey's algorithm tolerates, arXiv:1205.2926;
+    callers re-establish the [0, 2q) contract with one conditional
+    subtract, see shoup_mul_q2)."""
+    lh_lo, lh_hi = mul32_full(a[0], b[1])
+    hl_lo, hl_hi = mul32_full(a[1], b[0])
+    hh_lo, hh_hi = mul32_full(a[1], b[1])
+    # limb 1 of (ab - a0*b0) = lh_lo + hl_lo; only its carry survives
+    s1 = lh_lo + hl_lo
+    c1 = _carry32(lh_lo, hl_lo, s1)
+    # limb 2 = lh_hi + hl_hi + hh_lo + c1  (carries into limb 3)
+    s2 = lh_hi + hl_hi
+    c2 = _carry32(lh_hi, hl_hi, s2)
+    s3 = s2 + hh_lo
+    c3 = _carry32(s2, hh_lo, s3)
+    p2 = s3 + c1
+    c4 = _carry32(s3, c1, p2)
+    return p2, hh_hi + c2 + c3 + c4
 
 
 def mulhi64_shoup(a: U64Pair, b: U64Pair) -> U64Pair:
     return mulhi64_kara(a, b) if USE_KARA else mulhi64(a, b)
 
 
+# Direct Solinas reduction in place of the Shoup multiply, for moduli of
+# the form q = 2^e - 2^k + 1 (the headline 0x3fffffffffff0001 = 2^62 -
+# 2^16 + 1, fixture 12's 2^51 - 2^17 + 1, ...).  Trace-time switch like
+# NTT_MULHI64: env NTT_MULMOD=solinas, or set USE_SOLINAS before jitting.
+USE_SOLINAS = os.environ.get("NTT_MULMOD", "") == "solinas"
+
+
+def solinas_form(q: int):
+    """(e, k) if q == 2^e - 2^k + 1 with 0 < k, 2k + 3 <= e and
+    32 < e < 63 -- the family where mul_mod_q2_solinas' two-fold
+    reduction provably lands in [0, 2q) with no conditional subtract for
+    every legal lazy input (t < 8q for the radix-4 family's e <= 61
+    moduli; t < 4q for radix-2's e = 62) -- else None."""
+    e = q.bit_length()
+    c = (1 << e) - q  # = 2^k - 1 for the Solinas family
+    k = (c + 1).bit_length() - 1
+    if c != (1 << k) - 1 or k == 0 or 2 * k + 3 > e or not 32 < e < 63:
+        return None
+    return e, k
+
+
+def mul_mod_q2_solinas(w: U64Pair, t: U64Pair, q: int, e: int, k: int) -> U64Pair:
+    """(w*t) mod-q representative in [0, 2q), for q = 2^e - 2^k + 1
+    (w < q, t < 8q): full 128-bit product, then two folds of
+    2^e === 2^k - 1 (mod q).
+
+    Cost: one mul64_full = 16 native u16-half multiplies, vs the Shoup
+    path's 22 (mul64_lo 10 + truncated mulhi 12) -- and no
+    preconditioned w_con operand at all, halving twiddle-table traffic.
+    Bound chain (worst case t < 8q, legal only for e <= 61; e = 62 is
+    radix-2-gated to t < 4q): p < 2^(2e+3); A = p>>e < 2^(e+3) (fits the
+    limb pair); fold1 r = A*(2^k - 1) + (p mod 2^e) < 2^(e+k+3) + 2^e
+    (3 limbs); A2 = r>>e < 2^(k+3) (one u32); fold2 =
+    A2*(2^k - 1) + (r mod 2^e) < 2^(2k+3) + 2^e < 2q whenever
+    2k + 3 <= e.  No quotient estimate, no repair subtract."""
+    p0, p1, p2, p3 = mul64_full(w, t)
+    s = e - 32  # bit e sits at position s of limb 1; 0 < s < 32
+    sh = np.uint32(s)
+    shc = np.uint32(32 - s)
+    mask = np.uint32((1 << s) - 1)
+    # A = p >> e (fits 2 limbs: A < 2^(e+1) <= 2^63), B = p mod 2^e
+    a_lo = (p1 >> sh) | (p2 << shc)
+    a_hi = (p2 >> sh) | (p3 << shc)
+    b_lo, b_hi = p0, p1 & mask
+    # fold 1 over 3 limbs: r = (A << k) - A + B
+    kk = np.uint32(k)
+    kc = np.uint32(32 - k)
+    t0 = a_lo << kk
+    t1 = (a_hi << kk) | (a_lo >> kc)
+    t2 = a_hi >> kc
+    d0 = t0 - a_lo
+    bw0 = (t0 < a_lo).astype(U32)
+    d1s = t1 - a_hi
+    bw1a = (t1 < a_hi).astype(U32)
+    d1 = d1s - bw0
+    bw1b = (d1s < bw0).astype(U32)
+    d2 = t2 - bw1a - bw1b
+    r0 = d0 + b_lo
+    c0 = (r0 < d0).astype(U32)
+    r1s = d1 + b_hi
+    c1a = (r1s < d1).astype(U32)
+    r1 = r1s + c0
+    c1b = (r1 < r1s).astype(U32)
+    r2 = d2 + c1a + c1b
+    # fold 2: A2 = r >> e fits one u32 (< 2^(k+1)); result needs no
+    # conditional subtract
+    a2 = (r1 >> sh) | (r2 << shc)
+    f_lo, f_hi = r0, r1 & mask
+    m_lo = a2 << kk
+    m_hi = a2 >> kc
+    # (A2 << k) - A2, 64-bit
+    s_lo = m_lo - a2
+    sb = (m_lo < a2).astype(U32)
+    s_hi = m_hi - sb
+    # + B2
+    o_lo = f_lo + s_lo
+    oc = (o_lo < f_lo).astype(U32)
+    return o_lo, f_hi + s_hi + oc
+
+
 def shoup_mul_q2(w: U64Pair, w_con: U64Pair, t: U64Pair, q: int) -> U64Pair:
     """(w*t - hi64(w_con*t)*q) mod 2^64, in [0, 2q).  The Q*q correction
     uses the constant-multiply specialization (shift/add chain for
-    Solinas-form q)."""
+    Solinas-form q).
+
+    With NTT_MULHI64=approx, Q comes from mulhi64_approx (underestimated
+    by <= 1), the raw result lands in [0, 3q) -- 3q < 2^64 for every
+    radix-2-legal q < 2^62 -- and one cond_sub64 restores [0, 2q).  The
+    representative can differ from the exact-quotient path by q, so lazy
+    outputs are mod-q-equal (strict outputs bit-equal) rather than
+    representative-equal.
+
+    With NTT_MULMOD=solinas and a Solinas-form q (solinas_form), the
+    Shoup machinery is bypassed entirely by mul_mod_q2_solinas (w_con is
+    traced but unused; XLA drops the dead table reads)."""
+    if USE_SOLINAS:
+        form = solinas_form(q)
+        if form is not None:
+            return mul_mod_q2_solinas(w, t, q, *form)
+    if USE_APPROX:
+        big_q = mulhi64_approx(w_con, t)
+        r = sub64(mul64_lo(w, t), mul64_lo_const(big_q, q))
+        return cond_sub64(r, const_u64(2 * q))
     big_q = mulhi64_shoup(w_con, t)
     return sub64(mul64_lo(w, t), mul64_lo_const(big_q, q))
 

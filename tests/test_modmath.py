@@ -77,6 +77,74 @@ def test_mulhi64_kara(pairs):
     )
 
 
+def test_mulhi64_approx(pairs):
+    """Truncated-schoolbook mulhi64 (12 multiplies): exact quotient of
+    (a*b - a0*b0) / 2^64, i.e. mulhi64 minus an error in {0, 1}."""
+    a, b = pairs
+    pa, pb = mm.from_u64(a), mm.from_u64(b)
+    got = mm.to_u64(mm.mulhi64_approx(pa, pb)).astype(object)
+    exact = (a.astype(object) * b.astype(object)) >> 64
+    err = exact - got
+    assert ((err == 0) | (err == 1)).all()
+    # the dropped term is precisely a0*b0: (ab - a0b0) >> 64 must match
+    a0 = a.astype(object) & 0xFFFFFFFF
+    b0 = b.astype(object) & 0xFFFFFFFF
+    want = (a.astype(object) * b.astype(object) - a0 * b0) >> 64
+    np.testing.assert_array_equal(got, want)
+
+
+def test_shoup_mul_q2_approx(pairs):
+    """The NTT_MULHI64=approx Shoup path: mod-q exact and within [0, 2q)
+    for every radix-2-legal q width (the repair cond_sub needs 3q < 2^64,
+    true for q < 2^62)."""
+    _, b = pairs
+    for q in (0x1FFC8001, 0x7FFFFFFFE0001, (1 << 62) - (1 << 16) + 1):
+        rng = np.random.default_rng(q & 0xFFFF)
+        w = rng.integers(0, q, size=b.shape[0], dtype=np.uint64)
+        wc = np.array([(int(x) << 64) // q for x in w], dtype=np.uint64)
+        t = rng.integers(0, 4 * q, size=b.shape[0], dtype=np.uint64)
+        old = mm.USE_APPROX
+        mm.USE_APPROX = True
+        try:
+            r = mm.to_u64(
+                mm.shoup_mul_q2(mm.from_u64(w), mm.from_u64(wc),
+                                mm.from_u64(t), q)
+            )
+        finally:
+            mm.USE_APPROX = old
+        want = (w.astype(object) * t.astype(object)) % q
+        np.testing.assert_array_equal(r.astype(object) % q, want)
+        assert (r < np.uint64(2 * q)).all()
+
+
+def test_solinas_form():
+    assert mm.solinas_form((1 << 62) - (1 << 16) + 1) == (62, 16)
+    assert mm.solinas_form((1 << 51) - (1 << 17) + 1) == (51, 17)
+    assert mm.solinas_form(0x80000001C0001) is None  # dense fixture 13
+    assert mm.solinas_form(0x10001) is None  # e <= 32
+    assert mm.solinas_form((1 << 62) - (1 << 30) + 1) is None  # 2k+3 > e
+
+
+def test_mul_mod_q2_solinas(pairs):
+    """Direct Solinas reduction: mod-q exact and < 2q over the full legal
+    lazy input range (t < 8q; t < 4q for the radix-2-only e=62)."""
+    n = pairs[0].shape[0]
+    for q, tf in (((1 << 62) - (1 << 16) + 1, 4),
+                  ((1 << 51) - (1 << 17) + 1, 8)):
+        e, k = mm.solinas_form(q)
+        rng = np.random.default_rng(e)
+        w = rng.integers(0, q, size=n, dtype=np.uint64)
+        t = rng.integers(0, tf * q, size=n, dtype=np.uint64)
+        t[:4] = np.arange(4, dtype=np.uint64)
+        t[4:8] = np.uint64(tf * q - 1) - np.arange(4, dtype=np.uint64)
+        r = mm.to_u64(
+            mm.mul_mod_q2_solinas(mm.from_u64(w), mm.from_u64(t), q, e, k)
+        )
+        want = (w.astype(object) * t.astype(object)) % q
+        np.testing.assert_array_equal(r.astype(object) % q, want)
+        assert (r < np.uint64(2 * q)).all()
+
+
 def test_mul64_full(pairs):
     a, b = pairs
     pa, pb = mm.from_u64(a), mm.from_u64(b)

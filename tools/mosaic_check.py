@@ -1,0 +1,90 @@
+"""On-chip Mosaic correctness check for the pallas-fused variant.
+
+The reference correctness-tests every shipped kernel and inverse
+(/root/reference/tests/test_correctness.c:271-282); this is the on-chip
+analog for the real Mosaic (Pallas TPU) kernels, which the default CPU
+test suite only exercises in interpret mode.  Each requested fixture runs
+the fused forward (oracle-exact vs the NumPy refmodel) and the fused
+inverse (round-trip-exact), printing one OK/FAIL row per direction.
+
+The u64 INVERSE single-kernel Mosaic compile is the documented hang
+hazard (docs/PERF.md); round 3's split-phase inverse (two pallas_calls,
+pallas_fused.inv_fused(split_phases=...)) is the workaround under test
+here.  Run this LAST in a TPU session and under `timeout` -- a wedged
+Mosaic compile cannot be cancelled and queues all later compiles behind
+it.
+
+Usage (real TPU):
+    timeout 900 python tools/mosaic_check.py --fixtures 1 --dirs inv
+    python tools/mosaic_check.py --fixtures 0,9,13 --dirs fwd,inv
+"""
+
+from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import argparse
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixtures", default="0,9,13",
+                    help="comma list of params.FIXTURES indices")
+    ap.add_argument("--dirs", default="fwd,inv")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from ntt_tpu import api, refmodel as rm
+    from ntt_tpu.params import FIXTURES
+    from ntt_tpu.plan import get_plan
+
+    dirs = args.dirs.split(",")
+    failures = 0
+    for idx in (int(x) for x in args.fixtures.split(",")):
+        p = FIXTURES[idx]
+        plan = get_plan(p)
+        nlimb = 1 if plan.supports_u32_radix2 else 2
+        rng = np.random.default_rng(idx)
+        a = rng.integers(0, p.q, size=(args.batch, p.n), dtype=np.uint64)
+        if "fwd" in dirs:
+            t0 = time.perf_counter()
+            got = api.fwd_ntt(a, p, variant="pallas-fused")
+            dt = time.perf_counter() - t0
+            want = rm.fwd_ntt_harvey(a[0], p.q, plan.w, plan.w_con)
+            ok = bool((got[0] == want).all()) and bool(
+                (got[1] == rm.fwd_ntt_harvey(a[1], p.q, plan.w, plan.w_con)).all()
+            )
+            failures += not ok
+            print(f"q={p.q:#018x} m={p.m:2d} u{64 if nlimb == 2 else 32} "
+                  f"pallas fwd {'OK' if ok else 'FAIL'}  ({dt:.1f}s)",
+                  flush=True)
+        if "inv" in dirs:
+            t0 = time.perf_counter()
+            f = api.fwd_ntt(a, p, variant="pallas-fused")
+            back = api.inv_ntt(f, p, variant="pallas-fused")
+            dt = time.perf_counter() - t0
+            ok = bool((back == a).all())
+            failures += not ok
+            print(f"q={p.q:#018x} m={p.m:2d} u{64 if nlimb == 2 else 32} "
+                  f"pallas inv (round-trip) {'OK' if ok else 'FAIL'}  "
+                  f"({dt:.1f}s)", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
