@@ -512,8 +512,54 @@ U32_PATH_MAX_Q_BITS_R2 = 30  # Shoup needs t < 4q <= 2^32
 U32_PATH_MAX_Q_BITS_R4 = 28  # dual-Shoup needs t1+t2 < 16q <= 2^32 for Y1 < 2q
 
 
+def solinas_form32(q: int):
+    """(e, k) if q == 2^e - 2^k + 1 with 0 < k, 2k + 3 <= e <= 29 -- the
+    single-lane analog of solinas_form (e <= 29 keeps A = p>>e < 2^(e+3)
+    inside one u32 for lazy inputs up to 8q) -- else None."""
+    e = q.bit_length()
+    c = (1 << e) - q
+    k = (c + 1).bit_length() - 1
+    if c != (1 << k) - 1 or k == 0 or 2 * k + 3 > e or e > 29:
+        return None
+    return e, k
+
+
+def mul_mod32_q2_solinas(w, t, q: int, e: int, k: int):
+    """(w*t) mod-q representative in [0, 2q) for single-lane Solinas
+    moduli q = 2^e - 2^k + 1 (w < q, t < 8q): full 32x32 product (4
+    native u16-half multiplies, vs the Shoup path's 10) + two
+    2^e === 2^k - 1 folds.  Same bound chain as mul_mod_q2_solinas with
+    one-limb A (e <= 29) and a limb-pair fold-1 intermediate."""
+    p_lo, p_hi = mul32_full(w, t)
+    sh = np.uint32(e)
+    shc = np.uint32(32 - e)
+    mask = np.uint32((1 << e) - 1)
+    a = (p_lo >> sh) | (p_hi << shc)  # A = p >> e < 2^(e+3) <= 2^32
+    b = p_lo & mask
+    # fold 1 (pair): r = (A << k) - A + B < 2^(e+k+3) + 2^e
+    kk = np.uint32(k)
+    kc = np.uint32(32 - k)
+    t_lo = a << kk
+    t_hi = a >> kc
+    d_lo = t_lo - a
+    bw = (t_lo < a).astype(U32)
+    d_hi = t_hi - bw
+    r_lo = d_lo + b
+    c0 = (r_lo < d_lo).astype(U32)
+    r_hi = d_hi + c0
+    # fold 2: A2 = r >> e < 2^(k+3); result < 2^(2k+3) + 2^e < 2q
+    a2 = (r_lo >> sh) | (r_hi << shc)
+    return (r_lo & mask) + ((a2 << kk) - a2)
+
+
 def shoup_mul32_q2(w, w_con, t, q: int):
-    """Single-lane Shoup multiply with 32-bit preconditioning; result < 2q."""
+    """Single-lane Shoup multiply with 32-bit preconditioning; result < 2q.
+    With NTT_MULMOD=solinas and a Solinas-form q, replaced at trace time
+    by the direct two-fold reduction (w_con unused; see shoup_mul_q2)."""
+    if USE_SOLINAS:
+        form = solinas_form32(q)
+        if form is not None:
+            return mul_mod32_q2_solinas(w, t, q, *form)
     big_q = mulhi32(w_con, t)
     return w * t - big_q * np.uint32(q)
 

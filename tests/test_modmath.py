@@ -145,6 +145,24 @@ def test_mul_mod_q2_solinas(pairs):
         assert (r < np.uint64(2 * q)).all()
 
 
+def test_mul_mod32_q2_solinas():
+    """Single-lane Solinas reduction (4 native multiplies vs Shoup's 10):
+    mod-q exact and < 2q up to the 8q lazy input bound."""
+    q = 0x7FFF801  # 2^27 - 2^11 + 1, the small-N u32 bench prime family
+    assert mm.solinas_form32(q) == (27, 11)
+    assert mm.solinas_form32(0x1FFC8001) is None  # 2^29-2^18+1: 2k+3 > e
+    assert mm.solinas_form32(0x10001) is None
+    e, k = 27, 11
+    rng = np.random.default_rng(27)
+    w = rng.integers(0, q, size=4096).astype(np.uint32)
+    t = rng.integers(0, 8 * q, size=4096).astype(np.uint32)
+    t[:4] = np.uint32(8 * q - 1) - np.arange(4, dtype=np.uint32)
+    r = np.asarray(mm.mul_mod32_q2_solinas(w, t, q, e, k))
+    want = (w.astype(np.uint64) * t.astype(np.uint64)) % q
+    np.testing.assert_array_equal(r.astype(np.uint64) % q, want)
+    assert (r < np.uint32(2 * q)).all()
+
+
 def test_mul64_full(pairs):
     a, b = pairs
     pa, pb = mm.from_u64(a), mm.from_u64(b)
