@@ -952,10 +952,31 @@ def _resolve(params_or_plan) -> NttPlan:
     raise TypeError(type(params_or_plan))
 
 
+# The auto-dispatch decision surface, measured on the v5e by
+# tools/auto_sweep.py (artifact: artifacts/AUTO_SWEEP_r03.json;
+# tests/test_auto_variant.py pins this table against the recorded sweep,
+# the TPU analog of the reference's per-variant bench tables its README
+# points users at, README.md:61-67).  Keyed by limb width (the plan's
+# supports_u32_radix2 split); each row is (max_m, variant) and the first
+# row with m <= max_m wins (None = unbounded tail).
+_AUTO_TABLE: dict[int, tuple] = {
+    32: ((None, "sixstep"),),
+    64: ((None, "sixstep"),),
+}
+
+
 def _auto_variant(plan: NttPlan) -> str:
-    """Measured-fastest path (calibrated v5e sweeps, see README
-    'Performance'): the six-step kernel with the measured N2=64 split wins
-    at both modulus widths (q62 N=2^14: 7.82 us/t vs 8.67 flat radix-2)."""
+    """Measured-fastest path for this (q-width, N): table-driven from the
+    calibrated v5e sweeps (_AUTO_TABLE; see README 'Performance').  The
+    six-step kernel with the measured N2=64 split wins at both modulus
+    widths for the serving sizes (q62 N=2^14: 4.82 us/t vs 8.67 flat
+    radix-2); the table exists for the small-N tail where the split
+    overhead can lose to the flat kernels."""
+    width = 32 if plan.supports_u32_radix2 else 64
+    m = plan.params.m
+    for max_m, name in _AUTO_TABLE[width]:
+        if max_m is None or m <= max_m:
+            return name
     return "sixstep"
 
 

@@ -1,0 +1,76 @@
+"""Pin api._auto_variant's decision table to the recorded device sweep.
+
+The reference publishes per-variant bench tables so users pick the
+fastest kernel per case (README.md:61-67); our `auto` dispatch encodes
+that choice.  tools/auto_sweep.py measures the candidate families on the
+real chip and records artifacts/AUTO_SWEEP_r03.json; this test asserts
+the table in api._AUTO_TABLE agrees with the recorded winners, so the
+table can never silently drift from the measurements backing it.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ntt_tpu import api
+from ntt_tpu.params import bench_params
+from ntt_tpu.plan import get_plan
+
+_ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "artifacts", "AUTO_SWEEP_r03.json")
+
+
+def test_auto_variant_always_legal():
+    """auto must return a registered variant whose q-cap admits the plan,
+    at every size from the tiny tail through serving sizes."""
+    for qb in (27, 62):
+        for m in (3, 5, 8, 10, 12, 14, 16):
+            try:
+                p = bench_params(m=m, q_bits=qb)
+            except Exception:
+                continue  # no bench prime at this (m, qb)
+            plan = get_plan(p)
+            name = api._auto_variant(plan)
+            v = api.get_variant(name)
+            assert p.q.bit_length() <= v.max_q_bits, (qb, m, name)
+
+
+def test_auto_variant_roundtrips_small_n():
+    """The dispatched kernel is correct at the small sizes the table
+    special-cases (the N<256 tail where radix4-vec asserts)."""
+    rng = np.random.default_rng(0)
+    for qb in (27, 62):
+        for m in (4, 6, 8):
+            try:
+                p = bench_params(m=m, q_bits=qb)
+            except Exception:
+                continue
+            a = rng.integers(0, p.q, size=(2, p.n), dtype=np.uint64)
+            fwd = api.fwd_ntt(a, p)  # variant="auto"
+            inv = api.inv_ntt(fwd, p)
+            np.testing.assert_array_equal(inv, a)
+
+
+@pytest.mark.skipif(not os.path.exists(_ART),
+                    reason="device sweep artifact not recorded yet")
+def test_auto_table_matches_recorded_sweep():
+    with open(_ART) as f:
+        sweep = json.load(f)
+    mismatches = []
+    for key, row in sweep.items():
+        qb, m = (int(x[1:]) for x in key.split("_"))
+        p = bench_params(m=m, q_bits=qb)
+        plan = get_plan(p)
+        got = api._auto_variant(plan)
+        winner = row["winner"]
+        # within-noise margin: accept the table's pick when it measured
+        # within 3% of the sweep winner (loop-differencing run-to-run
+        # spread; bench.py variance protocol)
+        if got != winner and row.get(got) is not None:
+            if row[got] <= row[winner] * 1.03:
+                continue
+        if got != winner:
+            mismatches.append((key, got, winner, row))
+    assert not mismatches, mismatches
