@@ -67,6 +67,9 @@ def _emit_json() -> None:
     }
     if _RESULT.get("degraded"):
         line["degraded"] = _RESULT["degraded"]
+    for k, v in _RESULT.items():  # secondary rows (also_batch{N}_tps, ...)
+        if k.startswith("also_"):
+            line[k] = v
     print(json.dumps(line), flush=True)
 
 
@@ -477,6 +480,12 @@ def main() -> None:
                     help="comma list of suite bodies to measure (the analog "
                     "of the reference's single-function bench mode, "
                     "tests/main.c:12-17)")
+    ap.add_argument("--also-batch", type=int, default=None,
+                    help="after the headline, also measure this batch size "
+                    "(coarse protocol) and record it in the JSON as "
+                    "also_batch{N}_tps -- keeps rounds comparable across "
+                    "headline-batch changes (round 1 used 512, round 2+ "
+                    "the per-width optimum)")
     ap.add_argument("--peak-gbs", type=float, default=819.0,
                     help="HBM peak for the roofline line (v5e ~819 GB/s)")
     ap.add_argument("--profile-dir", default=None,
@@ -519,6 +528,19 @@ def main() -> None:
 
     p, tps, ns_bf = headline(args.batch, args.reps, args.inner, args.m,
                              args.q_bits, budget=budget)
+    if args.also_batch and args.also_batch != args.batch and (
+            budget is None or budget.remaining() > 90):
+        # secondary comparability row (coarse protocol only)
+        _, body2, a2 = _headline_body(args.also_batch, args.m, args.q_bits)
+        sec2 = _measure_loop(body2, a2, reps=2, k1=2, k2=2 + 16,
+                             target_s=1.0, budget=budget)
+        if sec2 > 0:
+            tps2 = args.also_batch / sec2
+            _RESULT[f"also_batch{args.also_batch}_tps"] = round(tps2, 1)
+            print(f"bench: batch={args.also_batch} comparability row: "
+                  f"{tps2:,.0f} transforms/s "
+                  f"({sec2 / args.also_batch * 1e6:.2f} us/t)",
+                  file=sys.stderr, flush=True)
     if budget is None or budget.remaining() > 45:
         base = host_baseline_tps(p, quick=args.platform == "cpu")
     else:

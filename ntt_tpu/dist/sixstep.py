@@ -33,7 +33,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ntt_tpu.kernels import radix2, sixstep
 from ntt_tpu.kernels.elems import U32Ops, U64Ops, tmap
-from ntt_tpu.plan import NttPlan
+from ntt_tpu.params import NttParams
+from ntt_tpu.plan import NttPlan, get_plan
+
+
+def _as_plan(plan: "NttPlan | NttParams") -> NttPlan:
+    """Accept NttParams everywhere a plan is taken, like api.fwd_ntt."""
+    return get_plan(plan) if isinstance(plan, NttParams) else plan
 
 
 def init_multihost(coordinator_address: str | None = None,
@@ -305,6 +311,7 @@ def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     identical to the golden radix-2 kernel.  n_chunks > 1 splits the
     all_to_all into column chunks so the collective of chunk c+1 can
     overlap the row stages of chunk c (comm/compute overlap; exact)."""
+    plan = _as_plan(plan)
     if mesh is None:
         mesh = default_mesh(axis=axis)
     ndev = mesh.shape[axis]
@@ -331,6 +338,7 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     """Inverse NTT sharded over mesh axis `axis`.  n_chunks > 1 splits the
     inverse collective into output-lane chunks so chunk c+1's all_to_all
     overlaps chunk c's column stages (exact; mirror of dist_fwd_ntt)."""
+    plan = _as_plan(plan)
     if mesh is None:
         mesh = default_mesh(axis=axis)
     ndev = mesh.shape[axis]
@@ -421,6 +429,7 @@ def dist_negacyclic_mul(a: np.ndarray, b: np.ndarray, plan: NttPlan,
     stay in the transposed shard layout (never materializing standard
     order), so the whole pipeline costs exactly three all_to_all
     collectives and no other communication."""
+    plan = _as_plan(plan)
     if mesh is None:
         mesh = default_mesh(axis=axis)
     ndev = mesh.shape[axis]
@@ -455,6 +464,7 @@ def batch_parallel_fwd(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
                        axis: str = "x", lazy: bool = False) -> np.ndarray:
     """HE-batch mode: shard the batch dim; each device runs whole fused
     six-step transforms locally (no collectives at all)."""
+    plan = _as_plan(plan)
     if mesh is None:
         mesh = default_mesh(axis=axis)
     ops, w, wc = _tables(plan, inverse=False)

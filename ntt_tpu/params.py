@@ -143,6 +143,8 @@ class NttParams:
 
     @classmethod
     def make(cls, q: int, m: int, w: int | None = None) -> "NttParams":
+        if m < 1:
+            raise ValueError(f"m must be >= 1 (N = 2^m >= 2), got {m}")
         if w is None:
             w = primitive_2n_root(q, m)
         return cls(m=m, q=q, w=w, w_inv=pow(w, -1, q), n_inv=pow(1 << m, -1, q))

@@ -47,6 +47,18 @@ def test_bench_emits_single_json_line():
     assert "batch4" in j["metric"]
 
 
+def test_bench_also_batch_row():
+    """--also-batch N records a secondary comparability rate in the same
+    JSON line (keyed also_batch{N}_tps) without changing the metric."""
+    r = _run_bench(args=("--budget-s", "180", "--also-batch", "8"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = _json_lines(r.stdout)
+    assert len(lines) == 1, r.stdout
+    j = lines[0]
+    assert "batch4" in j["metric"]
+    assert j.get("also_batch8_tps", 0) > 0, j
+
+
 def test_bench_watchdog_emits_json_when_wedged():
     """A wedged measurement (simulated via the NTT_BENCH_HANG_S hook) must
     still produce rc=0 and a JSON line before the budget expires."""

@@ -35,6 +35,17 @@ def test_dist_fwd_bitexact(p, ndev, rng):
     np.testing.assert_array_equal(got, want)
 
 
+def test_dist_accepts_params_directly(rng):
+    """Every dist entry point resolves NttParams like api.fwd_ntt does
+    (_as_plan) -- callers shouldn't need to know about the plan cache."""
+    p = CASES[0]
+    mesh = dist.default_mesh(8)
+    a = make_input(rng, p.n, p.q, batch=2)
+    got = dist.dist_fwd_ntt(a, p, mesh=mesh)
+    np.testing.assert_array_equal(got, api.fwd_ntt(a, p, variant="radix2"))
+    np.testing.assert_array_equal(dist.dist_inv_ntt(got, p, mesh=mesh), a)
+
+
 @pytest.mark.parametrize("p", CASES, ids=fixture_id)
 def test_dist_roundtrip(p, rng):
     plan = get_plan(p)

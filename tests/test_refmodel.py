@@ -111,3 +111,16 @@ def test_cross_inverse(p, rng):
 def test_fixture_validity():
     for p in FIXTURES:
         p.validate()
+
+
+def test_make_rejects_degenerate_m():
+    """m=0 (N=1) used to pass generate() and crash deep inside the kernel
+    with 'negative shift count'; the constructor must reject it cleanly."""
+    import pytest
+
+    from ntt_tpu.params import NttParams
+
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        NttParams.generate(30, 0)
+    with pytest.raises(ValueError, match="m must be >= 1"):
+        NttParams.make(0x1E01, -3)
