@@ -960,7 +960,7 @@ def _resolve(params_or_plan) -> NttPlan:
 # supports_u32_radix2 split); each row is (max_m, variant) and the first
 # row with m <= max_m wins (None = unbounded tail).
 _AUTO_TABLE: dict[int, tuple] = {
-    32: ((None, "sixstep"),),
+    32: ((8, "radix4-u32"), (None, "sixstep")),
     64: ((None, "sixstep"),),
 }
 
@@ -969,14 +969,19 @@ def _auto_variant(plan: NttPlan) -> str:
     """Measured-fastest path for this (q-width, N): table-driven from the
     calibrated v5e sweeps (_AUTO_TABLE; see README 'Performance').  The
     six-step kernel with the measured N2=64 split wins at both modulus
-    widths for the serving sizes (q62 N=2^14: 4.82 us/t vs 8.67 flat
-    radix-2); the table exists for the small-N tail where the split
-    overhead can lose to the flat kernels."""
+    widths for the serving sizes (q62 N=2^14: 4.82 us/t vs 8.28 flat
+    radix-2, AUTO_SWEEP_r03.json); the small-N tail flips: at N=2^8/q27
+    the flat radix-4 kernel beats the split (0.0156 vs 0.0184 ms/batch).
+    A table row whose variant cannot admit the plan's q (radix-4's 8q
+    lazy bound caps it below the limb path's own bound) falls through to
+    the next row."""
     width = 32 if plan.supports_u32_radix2 else 64
     m = plan.params.m
+    qb = plan.q.bit_length()
     for max_m, name in _AUTO_TABLE[width]:
         if max_m is None or m <= max_m:
-            return name
+            if qb <= get_variant(name).max_q_bits:
+                return name
     return "sixstep"
 
 

@@ -63,7 +63,9 @@ def test_auto_table_matches_recorded_sweep():
         qb, m = (int(x[1:]) for x in key.split("_"))
         p = bench_params(m=m, q_bits=qb)
         plan = get_plan(p)
-        got = api._auto_variant(plan)
+        # the sweep keys bodies by width-generic family ("radix4"); the
+        # dispatcher returns the registry name for the plan's limb width
+        got = api._auto_variant(plan).replace("-u32", "")
         winner = row["winner"]
         # within-noise margin: accept the table's pick when it measured
         # within 3% of the sweep winner (loop-differencing run-to-run
