@@ -162,9 +162,16 @@ def mul64_lo_const(x: U64Pair, c: int) -> U64Pair:
     multiply the Shoup correction term Q*q spends per butterfly
     (fast_mul_operators.h:49-54's `Q * q`), so for Solinas moduli every
     Shoup multiply drops from 22+ to 16-ish native u32 multiplies.
-    Falls back to mul64_lo for dense constants.  Bit-exact mod 2^64."""
+
+    Falls back to mul64_lo above NTT_NAF_MAX_DIGITS (default 3) NAF
+    digits: measured on the v5e, the weight-3 headline modulus wins
+    (5.0 -> 4.8 us/t at N=2^14) but a weight-4 chain LOSES 34% at the
+    N=2^16 bench prime 2^62-2^20-2^19+1 -- each extra term is a 64-bit
+    limb shift+carry+add64, so the chain passes the plain 6-multiply
+    product's cost at 4 digits (docs/PERF.md).  Bit-exact mod 2^64
+    either way."""
     digs = _naf_digits(c & ((1 << 64) - 1))
-    if len(digs) > 4:
+    if len(digs) > int(os.environ.get("NTT_NAF_MAX_DIGITS", "3")):
         return mul64_lo(x, const_u64(c))
     acc = None
     for sign, k in digs:

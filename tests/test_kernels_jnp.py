@@ -117,10 +117,10 @@ def test_batch(variant, rng):
 
 
 def test_auto_dispatch_and_guards(rng):
-    small = FIXTURES_ALL[0]  # 13-bit q -> u32 path
+    small = FIXTURES_ALL[0]  # 13-bit q, m=8 -> u32 small-N tail (radix4)
     big = FIXTURES_ALL[13]  # 51-bit q -> u64 path
     a = make_input(rng, small.n, small.q)
-    assert api._auto_variant(get_plan(small)) == "sixstep"
+    assert api._auto_variant(get_plan(small)) == "radix4-u32"
     assert api._auto_variant(get_plan(big)) == "sixstep"
     np.testing.assert_array_equal(
         api.fwd_ntt(a, small, variant="auto"),
