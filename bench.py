@@ -266,6 +266,10 @@ def _suite_bodies(plan):
         bodies["sixstep-u32"] = (
             lambda x: ss.fwd_sixstep((x,), U32Ops, (w,), (wc,), q, strict=True)[0]
         ), "u32"
+        bodies["sixstep-unord-u32"] = (
+            lambda x: ss.fwd_sixstep((x,), U32Ops, (w,), (wc,), q, strict=True,
+                                     keep_transposed=True)[0]
+        ), "u32"
         bodies["radix4x4-u32"] = (
             lambda x: ss.fwd_sixstep((x,), U32Ops, (w,), (wc,), q, strict=True,
                                      group=4)[0]
@@ -292,6 +296,13 @@ def _suite_bodies(plan):
     bodies["radix4x4-u64"] = (
         lambda x: ss.fwd_sixstep(x, U64Ops, (wl, wh), (cl, ch), q, strict=True,
                                  group=4)
+    ), "u64"
+    # unordered contract: strict output is a permutation, still in [0, q),
+    # so the body chains under fori_loop like the reference's raw
+    # unordered rows (tests/bench.c:99-107)
+    bodies["sixstep-unord-u64"] = (
+        lambda x: ss.fwd_sixstep(x, U64Ops, (wl, wh), (cl, ch), q, strict=True,
+                                 keep_transposed=True)
     ), "u64"
     ht, hc = plan.dev_hexl_u64
     bodies["hexl-u64"] = (
@@ -363,6 +374,13 @@ def _suite_bodies(plan):
     bodies["inv-radix4x4-u64"] = (
         lambda x: ss.inv_sixstep(x, U64Ops, (il, ih), (icl, ich), ninv, nc64,
                                  f_tmp64, f_con64, q, group=4)
+    ), "u64"
+    # inverse consuming the transposed (unordered) layout directly: output
+    # is standard-order strict [0, q) -- layout-wrong but range-valid as
+    # the next chained input, which is all a timing row needs
+    bodies["inv-sixstep-unord-u64"] = (
+        lambda x: ss.inv_sixstep(x, U64Ops, (il, ih), (icl, ich), ninv, nc64,
+                                 f_tmp64, f_con64, q, input_transposed=True)
     ), "u64"
     if plan.supports_u32_radix2:
         _, _, wi32, wic32 = plan.dev_r2_u32
