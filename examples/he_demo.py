@@ -54,7 +54,14 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--check", action="store_true",
                     help="verify against the O(N^2) schoolbook product")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu; env JAX_PLATFORMS "
+                    "alone is overridden by force-registered plugins)")
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     widths = tuple(int(w) for w in args.widths.split(","))
     t0 = time.time()
