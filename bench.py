@@ -334,6 +334,11 @@ def _suite_bodies(plan):
         bodies["r4r2-u64"] = (
             lambda x: mixed.fwd_tab_u64(x, mt64, mc64, q)
         ), "u64"
+    if plan.q.bit_length() <= 52:
+        w56, c56, _, _ = plan.dev_r4_w56
+        bodies["radix4-w56"] = (
+            lambda x: radix4.fwd_w56(x, (w56[0], w56[1]), (c56[0], c56[1]), q)
+        ), "u64"
 
     # inverse kernels (the reference benches these too, tests/bench.c:205-238);
     # strict inverse output is a valid next input, so they chain
@@ -365,6 +370,13 @@ def _suite_bodies(plan):
             lambda x: mixed.inv_u64(x, (il, ih), (icl, ich),
                                     (w4i[0], w4i[1]), (w4ic[0], w4ic[1]),
                                     ninv, nc64, q)
+        ), "u64"
+    if plan.q.bit_length() <= 52:
+        _, _, wi56, ic56 = plan.dev_r4_w56
+        nc56 = plan.n_inv_con56
+        bodies["inv-radix4-w56"] = (
+            lambda x: radix4.inv_w56(x, (wi56[0], wi56[1]), (ic56[0], ic56[1]),
+                                     ninv, nc56, q)
         ), "u64"
     f_tmp64, f_con64 = radix2._final_mulop(ninv, nc64, w1s64, q, 64)
     bodies["inv-sixstep-u64"] = (

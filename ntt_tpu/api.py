@@ -223,6 +223,53 @@ register(
 )
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_r4_w56(q: int, lazy: bool):
+    fn = radix4.fwd_lazy_w56 if lazy else radix4.fwd_w56
+
+    def core(alo, ahi, wlo, whi, clo, chi):
+        return fn((alo, ahi), (wlo, whi), (clo, chi), q)
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_r4_w56(q: int, n_inv_op: int, n_inv_con56: int):
+    def core(alo, ahi, wlo, whi, clo, chi):
+        return radix4.inv_w56(
+            (alo, ahi), (wlo, whi), (clo, chi), n_inv_op, n_inv_con56, q
+        )
+
+    return jax.jit(core)
+
+
+def _r4_w56_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    w, wc, _, _ = plan.dev_r4_w56
+    alo, ahi = mm.from_u64(a)
+    out = _jit_fwd_r4_w56(plan.q, lazy)(alo, ahi, w[0], w[1], wc[0], wc[1])
+    return mm.to_u64(out)
+
+
+def _r4_w56_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    _, _, wi, wic = plan.dev_r4_w56
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_inv_r4_w56(plan.q, plan.params.n_inv, plan.n_inv_con56)
+    return mm.to_u64(fn(alo, ahi, wi[0], wi[1], wic[0], wic[1]))
+
+
+register(
+    Variant(
+        "radix4-w56",
+        fwd=_r4_w56_fwd,
+        inv=_r4_w56_inv,
+        max_q_bits=mm.W56_PATH_MAX_Q_BITS,  # dual Shoup: 16q <= 2^56
+        description="radix-4 five-twiddle at Shoup word size 56 -- the "
+        "s390x VMSL analog (ref: src/ntt_radix4_s390x_vef.c): quotients "
+        "shifted 56 out of the 112-bit constant product, q < 2^52",
+    )
+)
+
+
 # -- MXU matmul variant ------------------------------------------------------
 
 

@@ -54,14 +54,15 @@ def _join4(parts, lead, n):
 # ---------------------------------------------------------------------------
 
 
-def _r4_fwd_bfly_u64(x, y, z, t, w5, q: int):
+def _r4_fwd_bfly_u64(x, y, z, t, w5, q: int,
+                     mul=mm.shoup_mul_q2, dbl=mm.shoup_dbl_mul_q2):
     q2 = mm.const_u64(2 * q)
     q4 = mm.const_u64(4 * q)
     (w0, c0), (w1, c1), (w2, c2), (w3, c3), (w4, c4) = w5
-    y1 = mm.shoup_dbl_mul_q2(w1, c1, w2, c2, y, t, q)
-    y2 = mm.shoup_dbl_mul_q2(w3, c3, w4, c4, y, t, q)
+    y1 = dbl(w1, c1, w2, c2, y, t, q)
+    y2 = dbl(w3, c3, w4, c4, y, t, q)
     t1 = mm.reduce_8q_to_4q(x, q)
-    t2 = mm.shoup_mul_q2(w0, c0, z, q)
+    t2 = mul(w0, c0, z, q)
     s = mm.add64(t1, t2)  # T1 + T2
     d = mm.sub64(t1, t2)  # T1 - T2 (wrapping; rebalanced below)
     nx = mm.add64(s, y1)
@@ -71,7 +72,8 @@ def _r4_fwd_bfly_u64(x, y, z, t, w5, q: int):
     return nx, ny, nz, nt
 
 
-def _r4_inv_bfly_u64(x, y, z, t, w5, q: int):
+def _r4_inv_bfly_u64(x, y, z, t, w5, q: int,
+                     mul=mm.shoup_mul_q2, dbl=mm.shoup_dbl_mul_q2):
     q4 = mm.const_u64(4 * q)
     (w0, c0), (w1, c1), (w2, c2), (w3, c3), (w4, c4) = w5
     t0 = mm.add64(z, t)
@@ -79,9 +81,9 @@ def _r4_inv_bfly_u64(x, y, z, t, w5, q: int):
     t2 = mm.sub64(mm.add64(x, q4), y)
     t3 = mm.sub64(mm.add64(z, q4), t)
     nx = mm.reduce_8q_to_2q(mm.add64(t1, t0), q)
-    nz = mm.shoup_mul_q(w0, c0, mm.sub64(mm.add64(t1, q4), t0), q)
-    ny = mm.shoup_dbl_mul_q2(w1, c1, w3, c3, t2, t3, q)
-    nt = mm.shoup_dbl_mul_q2(w2, c2, w4, c4, t2, t3, q)
+    nz = mm.reduce_2q_to_q(mul(w0, c0, mm.sub64(mm.add64(t1, q4), t0), q), q)
+    ny = dbl(w1, c1, w3, c3, t2, t3, q)
+    nt = dbl(w2, c2, w4, c4, t2, t3, q)
     return nx, ny, nz, nt
 
 
@@ -90,9 +92,11 @@ def _r4_inv_bfly_u64(x, y, z, t, w5, q: int):
 # ---------------------------------------------------------------------------
 
 
-def fwd_lazy_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair, q: int):
+def fwd_lazy_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair, q: int,
+                 mul=mm.shoup_mul_q2, dbl=mm.shoup_dbl_mul_q2):
     """Radix-4 forward lazy; w/w_con are expanded 2N tables.  Output < 8q
-    (even log2 N) or < 4q (odd, final radix-2 sweep)."""
+    (even log2 N) or < 4q (odd, final radix-2 sweep).  mul/dbl select the
+    Shoup word size (64-bit default; 56-bit for the VMSL-analog path)."""
     alo, ahi = a
     n = alo.shape[-1]
     lead = alo.shape[:-1]
@@ -112,7 +116,8 @@ def fwd_lazy_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair, q: int):
             for k in range(5)
         ]
         outs = _r4_fwd_bfly_u64(
-            (xs[0], hs[0]), (xs[1], hs[1]), (xs[2], hs[2]), (xs[3], hs[3]), w5, q
+            (xs[0], hs[0]), (xs[1], hs[1]), (xs[2], hs[2]), (xs[3], hs[3]),
+            w5, q, mul=mul, dbl=dbl,
         )
         alo = _join4([o[0] for o in outs], lead, n)
         ahi = _join4([o[1] for o in outs], lead, n)
@@ -129,7 +134,7 @@ def fwd_lazy_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair, q: int):
         x = mm.reduce_8q_to_4q((v_lo[..., 0], v_hi[..., 0]), q)
         y = (v_lo[..., 1], v_hi[..., 1])
         x1 = mm.reduce_4q_to_2q(x, q)
-        tt = mm.shoup_mul_q2(wo, wc, y, q)
+        tt = mul(wo, wc, y, q)
         q2 = mm.const_u64(2 * q)
         nx = mm.add64(x1, tt)
         ny = mm.sub64(mm.add64(x1, q2), tt)
@@ -143,8 +148,32 @@ def fwd_u64(a, w, w_con, q: int):
     return mm.reduce_8q_to_q(fwd_lazy_u64(a, w, w_con, q), q)
 
 
+def fwd_lazy_w56(a, w, w_con56, q: int):
+    """Radix-4 forward at Shoup word size 56 -- the TPU analog of the
+    s390x VMSL intrinsic kernel (src/ntt_radix4_s390x_vef.c:127-175): the
+    same five-twiddle dataflow over the 2N expanded table, but every
+    quotient comes from 56-bit preconditioned constants
+    (twiddles.calc_w_con(word_size=56)) shifted out of the 112-bit
+    accumulator, exactly as VMSL's HIGH_VMSL_WORD.  Needs q < 2^52
+    (mm.W56_PATH_MAX_Q_BITS): lazy 8q inputs keep t1 + t2 <= 2^56."""
+    return fwd_lazy_u64(a, w, w_con56, q,
+                        mul=mm.shoup_mul56_q2, dbl=mm.shoup_dbl_mul56_q2)
+
+
+def fwd_w56(a, w, w_con56, q: int):
+    return mm.reduce_8q_to_q(fwd_lazy_w56(a, w, w_con56, q), q)
+
+
+def inv_w56(a, w, w_con56, n_inv_op: int, n_inv_con56: int, q: int):
+    """Inverse of fwd_w56 (src/ntt_radix4_s390x_vef.c:178-246); the final
+    n_inv scaling uses the word-size-56 constant (test_cases.h:254)."""
+    return inv_u64(a, w, w_con56, n_inv_op, n_inv_con56, q,
+                   mul=mm.shoup_mul56_q2, dbl=mm.shoup_dbl_mul56_q2)
+
+
 def inv_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair,
-            n_inv_op: int, n_inv_con: int, q: int):
+            n_inv_op: int, n_inv_con: int, q: int,
+            mul=mm.shoup_mul_q2, dbl=mm.shoup_dbl_mul_q2):
     """Radix-4 inverse (src/ntt_radix4.c:64-114); strict output."""
     alo, ahi = a
     n = alo.shape[-1]
@@ -165,7 +194,7 @@ def inv_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair,
         x1 = mm.reduce_4q_to_2q(mm.add64(x, y), q)
         q2 = mm.const_u64(2 * q)
         tt = mm.sub64(mm.add64(x, q2), y)
-        ny = mm.shoup_mul_q2(wo, wc, tt, q)
+        ny = mul(wo, wc, tt, q)
         alo = jnp.stack([x1[0], ny[0]], axis=-1).reshape(lead + (n,))
         ahi = jnp.stack([x1[1], ny[1]], axis=-1).reshape(lead + (n,))
         m >>= 1
@@ -183,7 +212,8 @@ def inv_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair,
             for k in range(5)
         ]
         outs = _r4_inv_bfly_u64(
-            (xs[0], hs[0]), (xs[1], hs[1]), (xs[2], hs[2]), (xs[3], hs[3]), w5, q
+            (xs[0], hs[0]), (xs[1], hs[1]), (xs[2], hs[2]), (xs[3], hs[3]),
+            w5, q, mul=mul, dbl=dbl,
         )
         alo = _join4([o[0] for o in outs], lead, n)
         ahi = _join4([o[1] for o in outs], lead, n)
@@ -191,7 +221,7 @@ def inv_u64(a: mm.U64Pair, w: mm.U64Pair, w_con: mm.U64Pair,
         t <<= 2
     ninv = mm.const_u64(n_inv_op)
     ninv_c = mm.const_u64(n_inv_con)
-    return mm.shoup_mul_q(ninv, ninv_c, (alo, ahi), q)
+    return mm.reduce_2q_to_q(mul(ninv, ninv_c, (alo, ahi), q), q)
 
 
 # ---------------------------------------------------------------------------

@@ -510,6 +510,50 @@ def shoup_dbl_mul_q2(w1, w1c, w2, w2c, t1, t2, q: int) -> U64Pair:
 
 
 # ---------------------------------------------------------------------------
+# word_size=56 Shoup multiplies: the s390x VMSL analog.  The VMSL unit
+# multiplies 56x56-bit words into a 112-bit accumulator, so the reference's
+# intrinsic radix-4 kernel preconditions with w_con = floor(w << 56 / q) and
+# extracts quotients as HIGH_VMSL_WORD = product >> 56
+# (include/internal/defs.h:45-59, src/ntt_radix4_s390x_vef.c:43-53).  On TPU
+# the same word size maps onto the u32 limb machinery: the quotient is the
+# 128-bit limb product shifted right 56.  LOW_VMSL_WORD's 56-bit store mask
+# is a no-op here because every result below is provably < 2q < 2^56.
+# ---------------------------------------------------------------------------
+
+# Shoup's quotient bound at word size 56 needs t <= 2^56 for the single
+# multiply and t1 + t2 <= 2^56 for the fused pair; radix-4 lazy inputs reach
+# 8q, so 16q <= 2^56, i.e. q < 2^52.
+W56_PATH_MAX_Q_BITS = 52
+
+
+def _shr128_56(p4) -> U64Pair:
+    """Low 64 bits of (p >> 56) for a 128-bit 4-limb value (bit 56 of p is
+    bit 24 of limb 1)."""
+    lo = (p4[1] >> 24) | (p4[2] << 8)
+    hi = (p4[2] >> 24) | (p4[3] << 8)
+    return lo, hi
+
+
+def shoup_mul56_q2(w: U64Pair, w_con: U64Pair, t: U64Pair, q: int) -> U64Pair:
+    """(w*t - (w_con*t >> 56)*q) mod 2^64, in [0, 2q) for t <= 2^56 and
+    w_con = floor(w << 56 / q) (fast_mul_operators.h fast_mul_mod_q2 with
+    L_HIGH_WORD = HIGH_VMSL_WORD, src/ntt_radix4_s390x_vef.c:6)."""
+    big_q = _shr128_56(mul64_full(w_con, t))
+    return sub64(mul64_lo(w, t), mul64_lo_const(big_q, q))
+
+
+def shoup_dbl_mul56_q2(w1, w1c, w2, w2c, t1, t2, q: int) -> U64Pair:
+    """Fused (t1*w1 + t2*w2) at word size 56: one quotient from the 112-bit
+    accumulated constant products, exactly the VMSL extended_shoup_multiply
+    (src/ntt_radix4_s390x_vef.c:43-53: vec_msum_u128 dot product, shift by
+    56, one neg_q correction).  Result in [0, 2q) for t1 + t2 <= 2^56."""
+    p = add128(mul64_full(w1c, t1), mul64_full(w2c, t2))
+    big_q = _shr128_56(p)
+    acc = add64(mul64_lo(w1, t1), mul64_lo(w2, t2))
+    return sub64(acc, mul64_lo_const(big_q, q))
+
+
+# ---------------------------------------------------------------------------
 # Single-lane uint32 fast path: q < 2^30, word_size=32 Shoup constants.
 # Valid because Shoup's bound needs t <= 2^32 and our lazy inputs stay
 # < 4q < 2^32 (radix-4's dual-Shoup needs t1+t2 < 16q <= 2^32, i.e. q < 2^28).

@@ -116,6 +116,30 @@ class NttPlan:
         """(table, table_con) of the 5N r4r2 layout as u32 limb pairs."""
         return mm.from_u64(self.w_r4r2), mm.from_u64(self.w_r4r2_con)
 
+    # word_size-56 Shoup constants for the VMSL-analog radix-4 path
+    # (test_cases.h:254-264 builds the same three at VMSL_WORD_SIZE)
+    @functools.cached_property
+    def w_r4_con56(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_r4, self.q, 56)
+
+    @functools.cached_property
+    def w_inv_r4_con56(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_inv_r4, self.q, 56)
+
+    @functools.cached_property
+    def n_inv_con56(self) -> int:
+        return tw.calc_ninv_con(self.params.n_inv, self.q, 56)
+
+    @functools.cached_property
+    def dev_r4_w56(self):
+        """(w_r4, con56, w_inv_r4, inv_con56) as device u32 limb pairs."""
+        return (
+            mm.from_u64(self.w_r4),
+            mm.from_u64(self.w_r4_con56),
+            mm.from_u64(self.w_inv_r4),
+            mm.from_u64(self.w_inv_r4_con56),
+        )
+
     # word_size-32 Shoup constants for the u32 fast path
     def con32(self, table: np.ndarray) -> np.ndarray:
         return tw.calc_w_con(table, self.q, 32)

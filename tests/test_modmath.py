@@ -304,3 +304,37 @@ def test_shoup_mul_q2_solinas_q():
     assert (got < 2 * q).all()
     want = (w.astype(object) * t.astype(object) % q).astype(np.uint64)
     np.testing.assert_array_equal(got % np.uint64(q), want)
+
+
+def test_shoup_mul56():
+    """Word-size-56 Shoup (the VMSL analog, defs.h:45-59): single and
+    fused-pair multiplies land in [0, 2q) and are mod-q exact for lazy
+    inputs up to 8q at the widest legal q (16q <= 2^56)."""
+    q = 0x80000001C0001  # fixture 13's 52-bit q (widest legal: q < 2^52)
+    rng = np.random.default_rng(18)
+    w1 = rng.integers(0, q, size=2048, dtype=np.uint64)
+    w2 = rng.integers(0, q, size=2048, dtype=np.uint64)
+    t1 = rng.integers(0, 8 * q, size=2048, dtype=np.uint64)
+    t2 = rng.integers(0, 8 * q, size=2048, dtype=np.uint64)
+    c1 = np.array([(int(x) << 56) // q for x in w1], dtype=np.uint64)
+    c2 = np.array([(int(x) << 56) // q for x in w2], dtype=np.uint64)
+
+    got = mm.to_u64(
+        mm.shoup_mul56_q2(mm.from_u64(w1), mm.from_u64(c1), mm.from_u64(t1), q)
+    )
+    assert (got < 2 * q).all()
+    want = (w1.astype(object) * t1.astype(object) % q).astype(np.uint64)
+    np.testing.assert_array_equal(got % np.uint64(q), want)
+
+    got2 = mm.to_u64(
+        mm.shoup_dbl_mul56_q2(
+            mm.from_u64(w1), mm.from_u64(c1), mm.from_u64(w2), mm.from_u64(c2),
+            mm.from_u64(t1), mm.from_u64(t2), q,
+        )
+    )
+    assert (got2 < 2 * q).all()
+    want2 = (
+        (w1.astype(object) * t1.astype(object)
+         + w2.astype(object) * t2.astype(object)) % q
+    ).astype(np.uint64)
+    np.testing.assert_array_equal(got2 % np.uint64(q), want2)

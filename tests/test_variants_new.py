@@ -91,6 +91,32 @@ def test_family_variants_bitexact(variant, p, rng):
     np.testing.assert_array_equal(api.inv_ntt(got, p, variant=variant), a)
 
 
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_radix4_w56_bitexact(p, rng):
+    """radix4-w56 (the s390x VMSL analog, word_size=56 Shoup) is strict
+    oracle-exact, honors its lazy bound, and round-trips exactly
+    (ref: src/ntt_radix4_s390x_vef.c + test_cases.h:254-264)."""
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    got = api.fwd_ntt(a, p, variant="radix4-w56")
+    np.testing.assert_array_equal(got, want)
+    lazy = api.fwd_ntt(a, p, variant="radix4-w56", lazy=True)
+    bound = (8 if p.m % 2 == 0 else 4) * p.q
+    assert int(lazy.max()) < bound
+    np.testing.assert_array_equal(lazy % np.uint64(p.q), want)
+    np.testing.assert_array_equal(api.inv_ntt(got, p, variant="radix4-w56"), a)
+
+
+def test_radix4_w56_q_gate():
+    """q >= 2^52 must be rejected: the 56-bit dual Shoup needs 16q <= 2^56."""
+    from ntt_tpu.params import NttParams
+
+    p = NttParams.generate(62, 8)
+    with pytest.raises(ValueError, match="radix4-w56"):
+        api.fwd_ntt(np.zeros(p.n, np.uint64), p, variant="radix4-w56")
+
+
 @pytest.mark.parametrize("p", [FIXTURES_ALL[0], FIXTURES_ALL[1],
                                FIXTURES_ALL[13]], ids=fixture_id)
 def test_radix4_vec_bitexact(p, rng):
