@@ -52,6 +52,10 @@ class _Budget:
 # best-so-far result; the watchdog emits this if the main thread wedges
 _RESULT: dict = {}
 _EMITTED = threading.Event()
+# --solinas-q: pick the largest NAF-weight-3 modulus instead of the largest
+# prime (same q at the m=14 headline; +2.4% measured at m=16 where the
+# largest prime has NAF weight 4, see params.find_solinas_ntt_prime)
+_SOLINAS_Q = False
 
 
 def _emit_json() -> None:
@@ -169,7 +173,7 @@ def _headline_body(batch: int, m: int, q_bits: int):
     from ntt_tpu.kernels import sixstep as ss
     from ntt_tpu.kernels.elems import U32Ops, U64Ops
 
-    p = bench_params(m=m, q_bits=q_bits)
+    p = bench_params(m=m, q_bits=q_bits, solinas=_SOLINAS_Q)
     plan = get_plan(p)
     rng = np.random.default_rng(0)
     a = rng.integers(0, p.q, size=(batch, p.n), dtype=np.uint64)
@@ -421,7 +425,7 @@ def suite(args, budget: _Budget | None = None) -> None:
     from ntt_tpu.params import bench_params
     from ntt_tpu.plan import get_plan
 
-    p = bench_params(m=args.m, q_bits=args.q_bits)
+    p = bench_params(m=args.m, q_bits=args.q_bits, solinas=_SOLINAS_Q)
     plan = get_plan(p)
     rng = np.random.default_rng(0)
     a = rng.integers(0, p.q, size=(args.batch, p.n), dtype=np.uint64)
@@ -497,6 +501,11 @@ def main() -> None:
     ap.add_argument("--inner", type=int, default=50)
     ap.add_argument("--m", type=int, default=14)
     ap.add_argument("--q-bits", type=int, default=62)
+    ap.add_argument("--solinas-q", action="store_true",
+                    help="bench the largest NAF-weight-3 modulus instead of "
+                    "the largest prime (params.find_solinas_ntt_prime); "
+                    "same q at the m=14 headline, +2.4% measured at m=16 "
+                    "where the largest prime has NAF weight 4")
     ap.add_argument(
         "--budget-s", type=float,
         default=float(os.environ.get("NTT_BENCH_BUDGET_S", "420")),
@@ -521,6 +530,8 @@ def main() -> None:
     ap.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of one headline batch here")
     args = ap.parse_args()
+    global _SOLINAS_Q
+    _SOLINAS_Q = args.solinas_q
     if args.batch is None:
         args.batch = 256 if args.q_bits < 30 else 128
 
@@ -547,7 +558,7 @@ def main() -> None:
         from ntt_tpu.params import bench_params
         import numpy as np
 
-        p = bench_params(m=args.m, q_bits=args.q_bits)
+        p = bench_params(m=args.m, q_bits=args.q_bits, solinas=_SOLINAS_Q)
         a = np.random.default_rng(0).integers(
             0, p.q, size=(args.batch, p.n), dtype=np.uint64
         )

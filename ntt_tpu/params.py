@@ -68,6 +68,25 @@ def find_ntt_prime(bits: int, m: int, skip: int = 0) -> int:
     raise ValueError(f"no NTT prime with bits={bits}, m={m}")
 
 
+def find_solinas_ntt_prime(bits: int, m: int) -> int:
+    """Largest prime q = 2^bits - 2^k + 1 (NAF weight 3) with
+    2^(m+1) | q - 1, i.e. k >= m + 1.
+
+    Moduli of this shape keep every Shoup correction multiply Q*q on the
+    shift/add NAF chain (modmath.mul64_lo_const) instead of the generic
+    6-multiply product the weight-capped fallback uses -- measured +2.4%
+    at N=2^16 where the largest NTT prime has NAF weight 4 (33.4k vs
+    32.6k tps, artifacts/SOLINAS_Q_M16_AB_r03.log).  HE deployments
+    choose their moduli, so prefer this to find_ntt_prime when the exact
+    bit pattern is free: e.g. 2^62 - 2^46 + 1 is prime and serves every
+    N up to 2^45.  Raises if no such prime exists for (bits, m)."""
+    for k in range(m + 1, bits - 1):
+        q = (1 << bits) - (1 << k) + 1
+        if is_probable_prime(q):
+            return q
+    raise ValueError(f"no Solinas NTT prime 2^{bits} - 2^k + 1 with k >= {m + 1}")
+
+
 def find_ntt_primes(bits: int, m: int, count: int) -> list[int]:
     """The `count` largest primes q < 2^bits with 2^(m+1) | q - 1, in one
     descending scan (the multi-prime form of find_ntt_prime; used by the
@@ -187,9 +206,17 @@ FIXTURES: tuple[NttParams, ...] = (
 
 
 @functools.lru_cache(maxsize=None)
-def bench_params(m: int = 14, q_bits: int = 62) -> NttParams:
-    """The benchmark instance from BASELINE.md: N=2^14 with a 62-bit q."""
-    p = NttParams.generate(q_bits, m)
+def bench_params(m: int = 14, q_bits: int = 62, solinas: bool = False) -> NttParams:
+    """The benchmark instance from BASELINE.md: N=2^14 with a 62-bit q.
+
+    solinas=True picks the largest NAF-weight-3 prime instead of the
+    largest prime (find_solinas_ntt_prime) -- identical at the m=14
+    headline (the largest 62-bit NTT prime IS 2^62 - 2^16 + 1), but at
+    e.g. m=16 it swaps the weight-4 largest prime for 2^62 - 2^46 + 1."""
+    if solinas:
+        p = NttParams.make(find_solinas_ntt_prime(q_bits, m), m)
+    else:
+        p = NttParams.generate(q_bits, m)
     p.validate()
     return p
 

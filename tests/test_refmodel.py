@@ -124,3 +124,20 @@ def test_make_rejects_degenerate_m():
         NttParams.generate(30, 0)
     with pytest.raises(ValueError, match="m must be >= 1"):
         NttParams.make(0x1E01, -3)
+
+
+def test_find_solinas_ntt_prime():
+    """The NAF-weight-3 modulus finder: primality, root condition, weight,
+    and the documented identities (m=14 headline q; 2^62-2^46+1 at m=16,
+    where the largest prime has NAF weight 4)."""
+    from ntt_tpu.modmath import _naf_digits
+    from ntt_tpu.params import NttParams, find_solinas_ntt_prime
+
+    assert find_solinas_ntt_prime(62, 14) == (1 << 62) - (1 << 16) + 1
+    assert find_solinas_ntt_prime(62, 16) == (1 << 62) - (1 << 46) + 1
+    for bits, m in [(62, 14), (62, 16), (62, 20), (52, 14), (30, 12)]:
+        q = find_solinas_ntt_prime(bits, m)
+        assert q.bit_length() == bits
+        assert (q - 1) % (1 << (m + 1)) == 0
+        assert len(_naf_digits(q)) <= 3
+        NttParams.make(q, m).validate()
