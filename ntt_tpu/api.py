@@ -905,7 +905,7 @@ class DeviceNtt:
     """
 
     def __init__(self, params_or_plan, lazy: bool = False,
-                 batch_tile: int | None = None):
+                 batch_tile: int | None = None, pad_to_tile: bool = False):
         """batch_tile: process batches in lax.map tiles of this many rows.
         Per-transform time is strongly batch-dependent (XLA keeps stage
         intermediates VMEM-resident below ~32MB working sets, docs/PERF.md);
@@ -914,9 +914,17 @@ class DeviceNtt:
         by 128 -> 6.2).  Batches that are <= the tile or not divisible by
         it fall back to the direct (untiled) program -- correct but
         measurably slower for large batches, so size serving batches as a
-        multiple of the tile."""
+        multiple of the tile.
+
+        pad_to_tile: instead of that fallback, zero-pad non-divisible
+        batches > the tile up to the next multiple, run tiled, and slice
+        the pad off -- worthwhile when the pad fraction is smaller than
+        the direct path's per-row penalty (e.g. batch 1000 -> 1024), a
+        loss when padding nearly doubles the work (batch 130 -> 256);
+        explicit opt-in so the cost model stays in the caller's hands."""
         self.plan = _resolve(params_or_plan)
         self._batch_tile = batch_tile
+        self._pad_to_tile = pad_to_tile
         plan = self.plan
         self.ops = U32Ops if plan.supports_u32_radix2 else U64Ops
         self._n1_log = sixstep.default_split(plan.n)
@@ -965,9 +973,19 @@ class DeviceNtt:
 
     def _dispatch(self, fn, tiled_fn, rep, tabs1, tabs2):
         tile = self._batch_tile
-        if (not tile or rep[0].ndim < 2 or rep[0].shape[0] <= tile
-                or rep[0].shape[0] % tile):
+        if not tile or rep[0].ndim < 2 or rep[0].shape[0] <= tile:
             return fn(*rep, *tabs1, *tabs2)
+        batch = rep[0].shape[0]
+        if batch % tile:
+            if not self._pad_to_tile:
+                return fn(*rep, *tabs1, *tabs2)
+            pad = tile - batch % tile
+            rep = tuple(
+                jnp.concatenate([l, jnp.zeros((pad,) + l.shape[1:], l.dtype)])
+                for l in rep
+            )
+            out = tiled_fn(*rep, *tabs1, *tabs2)
+            return tuple(l[:batch] for l in out)
         return tiled_fn(*rep, *tabs1, *tabs2)
 
     # device ops (rep -> rep, all jitted+cached)

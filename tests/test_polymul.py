@@ -124,6 +124,25 @@ def test_device_ntt_batch_tiled(rng):
     )
 
 
+def test_device_ntt_pad_to_tile(rng):
+    """DeviceNtt(pad_to_tile=True): non-divisible batches > the tile are
+    zero-padded to the next multiple, run tiled, and sliced back -- exact
+    vs the host API at a deliberately awkward batch."""
+    small = NttParams.generate(29, 7)
+    ctx = api.DeviceNtt(small, batch_tile=4, pad_to_tile=True)
+    a = make_input(rng, small.n, small.q, batch=7)  # pads 7 -> 8
+    rep = ctx.from_host(a)
+    want = api.fwd_ntt(a, small, variant="sixstep")
+    got = ctx.fwd(rep)
+    assert got[0].shape[0] == 7  # pad sliced off
+    np.testing.assert_array_equal(ctx.to_host(got), want)
+    np.testing.assert_array_equal(ctx.to_host(ctx.inv(got)), a)
+    a3 = a[:3]  # batch <= tile: still the direct program
+    np.testing.assert_array_equal(
+        ctx.to_host(ctx.fwd(ctx.from_host(a3))), want[:3]
+    )
+
+
 def test_negacyclic_mul_honors_variant(rng):
     """An explicit non-sixstep variant must route through the composed
     per-step path (regression: fused path used to ignore `variant`)."""
