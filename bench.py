@@ -338,7 +338,7 @@ def _suite_bodies(plan):
         bodies["r4r2-u64"] = (
             lambda x: mixed.fwd_tab_u64(x, mt64, mc64, q)
         ), "u64"
-    if plan.q.bit_length() <= 52:
+    if plan.q.bit_length() <= mm.W56_PATH_MAX_Q_BITS:
         w56, c56, _, _ = plan.dev_r4_w56
         bodies["radix4-w56"] = (
             lambda x: radix4.fwd_w56(x, (w56[0], w56[1]), (c56[0], c56[1]), q)
@@ -375,7 +375,7 @@ def _suite_bodies(plan):
                                     (w4i[0], w4i[1]), (w4ic[0], w4ic[1]),
                                     ninv, nc64, q)
         ), "u64"
-    if plan.q.bit_length() <= 52:
+    if plan.q.bit_length() <= mm.W56_PATH_MAX_Q_BITS:
         _, _, wi56, ic56 = plan.dev_r4_w56
         nc56 = plan.n_inv_con56
         bodies["inv-radix4-w56"] = (

@@ -971,22 +971,30 @@ class DeviceNtt:
 
         return jax.jit(run)
 
+    def _maybe_pad(self, rep):
+        """(padded rep, original batch) when pad_to_tile applies to this
+        rep's batch, else (rep, None).  Zero rows are valid lazy inputs;
+        callers slice the pad off the output."""
+        tile = self._batch_tile
+        if (not tile or not self._pad_to_tile or rep[0].ndim < 2
+                or rep[0].shape[0] <= tile or rep[0].shape[0] % tile == 0):
+            return rep, None
+        batch = rep[0].shape[0]
+        pad = tile - batch % tile
+        return tuple(
+            jnp.concatenate([l, jnp.zeros((pad,) + l.shape[1:], l.dtype)])
+            for l in rep
+        ), batch
+
     def _dispatch(self, fn, tiled_fn, rep, tabs1, tabs2):
         tile = self._batch_tile
         if not tile or rep[0].ndim < 2 or rep[0].shape[0] <= tile:
             return fn(*rep, *tabs1, *tabs2)
-        batch = rep[0].shape[0]
-        if batch % tile:
-            if not self._pad_to_tile:
-                return fn(*rep, *tabs1, *tabs2)
-            pad = tile - batch % tile
-            rep = tuple(
-                jnp.concatenate([l, jnp.zeros((pad,) + l.shape[1:], l.dtype)])
-                for l in rep
-            )
-            out = tiled_fn(*rep, *tabs1, *tabs2)
-            return tuple(l[:batch] for l in out)
-        return tiled_fn(*rep, *tabs1, *tabs2)
+        rep2, batch = self._maybe_pad(rep)
+        if rep2[0].shape[0] % tile:  # non-divisible, pad_to_tile off
+            return fn(*rep, *tabs1, *tabs2)
+        out = tiled_fn(*rep2, *tabs1, *tabs2)
+        return out if batch is None else tuple(l[:batch] for l in out)
 
     # device ops (rep -> rep, all jitted+cached)
     def fwd(self, rep) -> tuple:
@@ -1000,8 +1008,16 @@ class DeviceNtt:
         return self._pointwise(rep_a, rep_b)
 
     def negacyclic(self, rep_a, rep_b) -> tuple:
-        """Full product, one chained device program (no host hops)."""
-        return self.inv(self.pointwise(self.fwd(rep_a), self.fwd(rep_b)))
+        """Full product, one chained device program (no host hops).  With
+        pad_to_tile, a non-divisible batch is padded ONCE here and sliced
+        once at the end, so the three chained stages reuse the tiled
+        program without re-padding per stage."""
+        rep_a, batch = self._maybe_pad(rep_a)
+        rep_b, _ = self._maybe_pad(rep_b)
+        out = self.inv(self.pointwise(self.fwd(rep_a), self.fwd(rep_b)))
+        if batch is not None:
+            out = tuple(l[:batch] for l in out)
+        return out
 
 
 # ---------------------------------------------------------------------------
