@@ -161,10 +161,22 @@ def _measure_loop(body, x0, reps: int, k1: int, k2: int,
     return (hi - lo) / (k2 - k1)
 
 
-def _headline_body(batch: int, m: int, q_bits: int):
+def _headline_body(batch: int, m: int, q_bits: int, tile: int | None = None):
     """(params, body, x0) for the headline config -- fastest measured path
     (calibrated sweeps, v5e): the six-step kernel with the measured N2=64
-    split wins at both widths; strict output chains as input."""
+    split wins at both widths; strict output chains as input.
+
+    tile: on the u64 path, run the batch as lax.map tiles of this many
+    rows.  Measured round 3 (controls interleaved,
+    artifacts/TILED_HEADLINE_AB_r03.log): 128-row tiles over batch 2048
+    reached 4.43 us/t vs 4.82 direct at batch 128, but the tiled reading
+    is NOT run-to-run stable (4.43-5.80 across sessions) while direct@128
+    holds 4.78-4.85, so the default headline stays direct and tiling is
+    the documented way to run LARGE batches (it always beats the direct
+    large-batch cliff: worst tiled 5.8 vs direct@2048 19.4 us/t).  The
+    u32 path measured 49% SLOWER tiled (compute-bound, nothing to
+    amortize), so tile is ignored there."""
+    import jax
     import numpy as np
 
     from ntt_tpu import modmath as mm
@@ -187,17 +199,29 @@ def _headline_body(batch: int, m: int, q_bits: int):
         w, wc, _, _ = plan.dev_r2_u64
         a_rep = mm.from_u64(a)
 
-        def body(x_rep):
+        def one(x_rep):
             return ss.fwd_sixstep(x_rep, U64Ops, w, wc, p.q, strict=True)
+
+        if tile and batch > tile and batch % tile == 0:
+            ntile = batch // tile
+
+            def body(x_rep):
+                shaped = tuple(
+                    l.reshape((ntile, tile) + l.shape[1:]) for l in x_rep
+                )
+                out = jax.lax.map(one, shaped)
+                return tuple(l.reshape((batch,) + l.shape[2:]) for l in out)
+        else:
+            body = one
     return p, body, a_rep
 
 
 def headline(batch: int, reps: int, inner: int, m: int = 14, q_bits: int = 62,
-             budget: _Budget | None = None):
+             budget: _Budget | None = None, tile: int | None = None):
     """Quick-then-refine: a coarse measurement lands in _RESULT first (so a
     budget expiry mid-refinement still reports a real number), then the
     full-protocol measurement replaces it while time remains."""
-    p, body, a_rep = _headline_body(batch, m, q_bits)
+    p, body, a_rep = _headline_body(batch, m, q_bits, tile=tile)
     metric = (f"fwd_ntt_transforms_per_sec_N2^{p.m}_"
               f"q{p.q.bit_length()}bit_batch{batch}")
     _RESULT["metric"] = metric
@@ -494,8 +518,15 @@ def main() -> None:
         "--batch", type=int, default=None,
         help="default: measured-optimal batch for the modulus width "
         "(128 for the u64 path, 256 for u32 -- the size where XLA keeps "
-        "the per-stage intermediates VMEM-resident; larger batches fall "
-        "off a cliff: u64 512->6.6, 1024->8.5, 2048->19.4 us/t)",
+        "the per-stage intermediates VMEM-resident; larger DIRECT batches "
+        "fall off a cliff: u64 512->6.6, 1024->8.5, 2048->19.4 us/t; "
+        "large batches run as lax.map tiles instead, see --tile)",
+    )
+    ap.add_argument(
+        "--tile", type=int, default=None,
+        help="u64 path: run the batch as lax.map tiles of this many rows "
+        "(default 128 when the batch is a >1 multiple of 128; 0 disables); "
+        "ignored on the u32 path where tiling measured 49%% slower",
     )
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--inner", type=int, default=50)
@@ -533,7 +564,18 @@ def main() -> None:
     global _SOLINAS_Q
     _SOLINAS_Q = args.solinas_q
     if args.batch is None:
+        # stable measured optima: u32 direct@256, u64 direct@128.  The
+        # lax.map-tiled u64 config (--batch 2048 --tile 128) measured as
+        # fast as 4.43 us/t (+8%) under interleaved controls but is NOT
+        # run-to-run stable (4.43-5.80 across sessions,
+        # artifacts/TILED_HEADLINE_AB_r03.log), so it stays opt-in.
         args.batch = 256 if args.q_bits < 30 else 128
+    if args.tile is None and args.q_bits >= 30 and (
+            args.batch > 128 and args.batch % 128 == 0):
+        args.tile = 128
+    if (args.also_batch is None and args.q_bits >= 30
+            and args.batch != 128):
+        args.also_batch = 128  # cross-round comparability row (rounds 1-3)
 
     budget = _Budget(args.budget_s) if args.budget_s > 0 else None
     if budget is not None:
@@ -568,7 +610,7 @@ def main() -> None:
         print(f"profiler trace written to {args.profile_dir}", file=sys.stderr)
 
     p, tps, ns_bf = headline(args.batch, args.reps, args.inner, args.m,
-                             args.q_bits, budget=budget)
+                             args.q_bits, budget=budget, tile=args.tile)
     if args.also_batch and args.also_batch != args.batch and (
             budget is None or budget.remaining() > 90):
         # secondary comparability row (coarse protocol only)
