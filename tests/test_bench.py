@@ -69,3 +69,16 @@ def test_bench_watchdog_emits_json_when_wedged():
     assert len(lines) == 1, r.stdout
     assert lines[0]["unit"] == "transforms/s"
     assert "degraded" in lines[0]
+
+
+def test_bench_tile_flag():
+    """--tile runs the u64 headline as lax.map tiles (opt-in large-batch
+    mode); the JSON line still self-describes the full batch."""
+    r = _run_bench(args=("--q-bits", "62", "--batch", "256", "--tile", "128",
+                         "--also-batch", "0", "--budget-s", "200"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = _json_lines(r.stdout)
+    assert len(lines) == 1, r.stdout
+    j = lines[0]
+    assert "q62bit" in j["metric"] and "batch256" in j["metric"]
+    assert j["value"] > 0
