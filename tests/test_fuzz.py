@@ -37,7 +37,7 @@ def test_fuzz_instance(q_bits, m):
     want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
     for variant in ("radix2", "sixstep") + (
         ("radix4", "r4r2") if q_bits <= 61 else ()
-    ):
+    ) + (("radix4-w56",) if q_bits <= 52 else ()):
         got = api.fwd_ntt(a, p, variant=variant)
         np.testing.assert_array_equal(got, want, err_msg=f"{variant} seed={SEED}")
         back = api.inv_ntt(got, p, variant=variant)
