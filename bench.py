@@ -167,15 +167,14 @@ def _headline_body(batch: int, m: int, q_bits: int, tile: int | None = None):
     split wins at both widths; strict output chains as input.
 
     tile: on the u64 path, run the batch as lax.map tiles of this many
-    rows.  Measured round 3 (controls interleaved,
-    artifacts/TILED_HEADLINE_AB_r03.log): 128-row tiles over batch 2048
-    reached 4.43 us/t vs 4.82 direct at batch 128, but the tiled reading
-    is NOT run-to-run stable (4.43-5.80 across sessions) while direct@128
-    holds 4.78-4.85, so the default headline stays direct and tiling is
-    the documented way to run LARGE batches (it always beats the direct
-    large-batch cliff: worst tiled 5.8 vs direct@2048 19.4 us/t).  The
-    u32 path measured 49% SLOWER tiled (compute-bound, nothing to
-    amortize), so tile is ignored there."""
+    rows -- the LARGE-batch mode (it always beats the direct large-batch
+    cliff: tiled@2048 5.0-7.1 us/t vs direct@2048 19.4).  It does NOT
+    beat the direct@128 headline: the closing 3-round interleaved study
+    (artifacts/TILED_HEADLINE_AB_r03.log) shows direct@128 stable at
+    4.80-4.82 while tiled/unrolled variants read 5.05-7.08 warm; early
+    4.43 tiled readings were device-state flukes.  The u32 path measured
+    49% SLOWER tiled (compute-bound, nothing to amortize), so tile is
+    ignored there."""
     import jax
     import numpy as np
 
@@ -565,10 +564,10 @@ def main() -> None:
     _SOLINAS_Q = args.solinas_q
     if args.batch is None:
         # stable measured optima: u32 direct@256, u64 direct@128.  The
-        # lax.map-tiled u64 config (--batch 2048 --tile 128) measured as
-        # fast as 4.43 us/t (+8%) under interleaved controls but is NOT
-        # run-to-run stable (4.43-5.80 across sessions,
-        # artifacts/TILED_HEADLINE_AB_r03.log), so it stays opt-in.
+        # lax.map-tiled u64 config (--batch 2048 --tile 128) is strictly a
+        # large-batch mode: early 4.43 us/t readings were device-state
+        # flukes; warm-device steady state reads 5.05-7.08 vs direct@128's
+        # 4.80-4.82 (artifacts/TILED_HEADLINE_AB_r03.log).
         args.batch = 256 if args.q_bits < 30 else 128
     if args.tile is None and args.q_bits >= 30 and (
             args.batch > 128 and args.batch % 128 == 0):
