@@ -53,8 +53,8 @@ class _Budget:
 _RESULT: dict = {}
 _EMITTED = threading.Event()
 # --solinas-q: pick the largest NAF-weight-3 modulus instead of the largest
-# prime (same q at the m=14 headline; +2.4% measured at m=16 where the
-# largest prime has NAF weight 4, see params.find_solinas_ntt_prime)
+# prime (same q at the m=14 headline; no measurable m=16 difference under
+# interleaved A/B -- see params.find_solinas_ntt_prime)
 _SOLINAS_Q = False
 
 
@@ -534,8 +534,8 @@ def main() -> None:
     ap.add_argument("--solinas-q", action="store_true",
                     help="bench the largest NAF-weight-3 modulus instead of "
                     "the largest prime (params.find_solinas_ntt_prime); "
-                    "same q at the m=14 headline, +2.4% measured at m=16 "
-                    "where the largest prime has NAF weight 4")
+                    "same q at the m=14 headline; at m=16 an interleaved "
+                    "A/B found no measurable difference")
     ap.add_argument(
         "--budget-s", type=float,
         default=float(os.environ.get("NTT_BENCH_BUDGET_S", "420")),

@@ -74,12 +74,15 @@ def find_solinas_ntt_prime(bits: int, m: int) -> int:
 
     Moduli of this shape keep every Shoup correction multiply Q*q on the
     shift/add NAF chain (modmath.mul64_lo_const) instead of the generic
-    6-multiply product the weight-capped fallback uses -- measured +2.4%
-    at N=2^16 where the largest NTT prime has NAF weight 4 (33.4k vs
-    32.6k tps, artifacts/SOLINAS_Q_M16_AB_r03.log).  HE deployments
-    choose their moduli, so prefer this to find_ntt_prime when the exact
-    bit pattern is free: e.g. 2^62 - 2^46 + 1 is prime and serves every
-    N up to 2^45.  Raises if no such prime exists for (bits, m)."""
+    6-multiply product the weight-capped fallback uses.  The chain's win
+    is measured at N=2^14 (5.0 -> 4.82 us/t on the weight-3 headline
+    modulus); at N=2^16 an interleaved A/B found NO measurable difference
+    (session variance 29.6-39.5 us/t swamps it,
+    artifacts/SOLINAS_Q_M16_AB_r03.log).  HE deployments choose their
+    moduli, so prefer this to find_ntt_prime when the exact bit pattern
+    is free -- it costs nothing and enables the chain where it pays:
+    e.g. 2^62 - 2^46 + 1 is prime and serves every N up to 2^45.
+    Raises if no such prime exists for (bits, m)."""
     for k in range(m + 1, bits - 1):
         q = (1 << bits) - (1 << k) + 1
         if is_probable_prime(q):
