@@ -248,6 +248,17 @@ def headline(batch: int, reps: int, inner: int, m: int = 14, q_bits: int = 62,
             sec = sec_full
             _RESULT["value"] = round(batch / sec, 1)
             _RESULT.pop("degraded", None)
+        # device state has slow periods lasting minutes (interleaved-control
+        # study, artifacts/TILED_HEADLINE_AB_r03.log: a warm-up round read
+        # 5.66 us/t on the stable 4.8 config).  Like the reference's
+        # min-of-10-repeats rule (tests/measurements.h:57-75, README:61-67),
+        # re-measure once and keep the faster reading.
+        if sec_full > 0 and (budget is None or budget.remaining() > 90):
+            sec_again = _measure_loop(body, a_rep, reps=reps, k1=2,
+                                      k2=2 + inner, budget=budget)
+            if 0 < sec_again < sec:
+                sec = sec_again
+                _RESULT["value"] = round(batch / sec, 1)
     tps = batch / sec
     ns_per_butterfly = sec / batch / butterflies * 1e9
     return p, tps, ns_per_butterfly
