@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Callable
 
 import jax
@@ -325,10 +326,11 @@ def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = Fals
     def core(*flat):
         a = flat[:nlimb]
         w = flat[nlimb : 2 * nlimb]
-        wc = flat[2 * nlimb :]
+        wc = flat[2 * nlimb : 3 * nlimb]
+        row_tabs = flat[3 * nlimb] if len(flat) > 3 * nlimb else None
         return sixstep.fwd_sixstep(
             a, ops, w, wc, q, n1_log, strict=not lazy, keep_transposed=keep_t,
-            group=group,
+            group=group, row_tabs=row_tabs,
         )
 
     return jax.jit(core)
@@ -342,13 +344,30 @@ def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int,
     def core(*flat):
         a = flat[:nlimb]
         w = flat[nlimb : 2 * nlimb]
-        wc = flat[2 * nlimb :]
+        wc = flat[2 * nlimb : 3 * nlimb]
+        row_tabs = flat[3 * nlimb] if len(flat) > 3 * nlimb else None
         return sixstep.inv_sixstep(
             a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1_log,
-            input_transposed=input_t, group=group,
+            input_transposed=input_t, group=group, row_tabs=row_tabs,
         )
 
     return jax.jit(core)
+
+
+def _row_tabs(plan: NttPlan, nlimb: int, inverse: bool,
+              n1_log: int | None = None):
+    """Pre-broadcast row-twiddle stacks for the six-step jit cores (passed
+    as the trailing pytree arg).  NTT_ROW_TABS=1 opts in; the default is
+    the in-program derivation.  Measured-NEUTRAL on chip (round 4,
+    artifacts/ROWTAB_AB_r04.log): the TPU lowering is flop-identical both
+    ways (fwd 2.88e9 / inv 2.616e9) -- XLA already folds the in-program
+    reshape(n1, m2).T, so the stacks buy nothing and cost extra device
+    tables.  Kept as tested infrastructure (see test_variants_new)."""
+    if os.environ.get("NTT_ROW_TABS", "0") != "1":
+        return None
+    if n1_log is None:
+        n1_log = sixstep.default_split(plan.n)
+    return plan.dev_row_tabs(n1_log, nlimb, inverse)
 
 
 def _sixstep_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
@@ -359,7 +378,9 @@ def _sixstep_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
         (wlo, whi), (clo, chi), _, _ = plan.dev_r2_u64
         ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
     a_rep = ops.from_host(a)
-    out = _jit_fwd_sixstep(plan.q, lazy, None, ops.nlimb)(*a_rep, *w_rep, *wc_rep)
+    out = _jit_fwd_sixstep(plan.q, lazy, None, ops.nlimb)(
+        *a_rep, *w_rep, *wc_rep, _row_tabs(plan, ops.nlimb, False)
+    )
     return ops.to_host(out)
 
 
@@ -379,7 +400,9 @@ def _sixstep_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
     fn = _jit_inv_sixstep(
         plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, None, ops.nlimb
     )
-    return ops.to_host(fn(*a_rep, *w_rep, *wc_rep))
+    return ops.to_host(
+        fn(*a_rep, *w_rep, *wc_rep, _row_tabs(plan, ops.nlimb, True))
+    )
 
 
 register(
@@ -408,7 +431,7 @@ def _sixstep_unordered_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarr
         ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
     a_rep = ops.from_host(a)
     out = _jit_fwd_sixstep(plan.q, lazy, n1_log, ops.nlimb, keep_t=True)(
-        *a_rep, *w_rep, *wc_rep
+        *a_rep, *w_rep, *wc_rep, _row_tabs(plan, ops.nlimb, False, n1_log)
     )
     return ops.to_host(out)
 
@@ -434,7 +457,8 @@ def _sixstep_unordered_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
         plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, n1_log, ops.nlimb,
         input_t=True,
     )
-    return ops.to_host(fn(*ops.from_host(a), *w_rep, *wc_rep))
+    return ops.to_host(fn(*ops.from_host(a), *w_rep, *wc_rep,
+                          _row_tabs(plan, ops.nlimb, True, n1_log)))
 
 
 register(
@@ -717,7 +741,7 @@ def _radix4x4_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
         ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
     a_rep = ops.from_host(a)
     out = _jit_fwd_sixstep(plan.q, lazy, None, ops.nlimb, group=4)(
-        *a_rep, *w_rep, *wc_rep
+        *a_rep, *w_rep, *wc_rep, _row_tabs(plan, ops.nlimb, False)
     )
     return ops.to_host(out)
 
@@ -738,7 +762,8 @@ def _radix4x4_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
         plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, None, ops.nlimb,
         group=4,
     )
-    return ops.to_host(fn(*ops.from_host(a), *w_rep, *wc_rep))
+    return ops.to_host(fn(*ops.from_host(a), *w_rep, *wc_rep,
+                          _row_tabs(plan, ops.nlimb, True)))
 
 
 register(
@@ -939,6 +964,8 @@ class DeviceNtt:
             self._wi, self._wic = (wi,), (wic,)
         else:
             self._w, self._wc, self._wi, self._wic = plan.dev_r2_u64
+        self._rt_f = _row_tabs(plan, self.ops.nlimb, False, self._n1_log)
+        self._rt_i = _row_tabs(plan, self.ops.nlimb, True, self._n1_log)
         self._fwd = _jit_fwd_sixstep(plan.q, lazy, self._n1_log, self.ops.nlimb)
         self._inv = _jit_inv_sixstep(
             plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, self._n1_log,
@@ -986,23 +1013,24 @@ class DeviceNtt:
             for l in rep
         ), batch
 
-    def _dispatch(self, fn, tiled_fn, rep, tabs1, tabs2):
+    def _dispatch(self, fn, tiled_fn, rep, tabs1, tabs2, row_tabs):
         tile = self._batch_tile
         if not tile or rep[0].ndim < 2 or rep[0].shape[0] <= tile:
-            return fn(*rep, *tabs1, *tabs2)
+            return fn(*rep, *tabs1, *tabs2, row_tabs)
         rep2, batch = self._maybe_pad(rep)
         if rep2[0].shape[0] % tile:  # non-divisible, pad_to_tile off
-            return fn(*rep, *tabs1, *tabs2)
-        out = tiled_fn(*rep2, *tabs1, *tabs2)
+            return fn(*rep, *tabs1, *tabs2, row_tabs)
+        out = tiled_fn(*rep2, *tabs1, *tabs2, row_tabs)
         return out if batch is None else tuple(l[:batch] for l in out)
 
     # device ops (rep -> rep, all jitted+cached)
     def fwd(self, rep) -> tuple:
-        return self._dispatch(self._fwd, self._fwd_tiled, rep, self._w, self._wc)
+        return self._dispatch(self._fwd, self._fwd_tiled, rep, self._w,
+                              self._wc, self._rt_f)
 
     def inv(self, rep) -> tuple:
         return self._dispatch(self._inv, self._inv_tiled, rep, self._wi,
-                              self._wic)
+                              self._wic, self._rt_i)
 
     def pointwise(self, rep_a, rep_b) -> tuple:
         return self._pointwise(rep_a, rep_b)

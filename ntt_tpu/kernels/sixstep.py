@@ -129,6 +129,35 @@ def _col_tw(w_rep, m: int):
     return tmap(lambda l: l[m : 2 * m].reshape(m, 1, 1), w_rep)
 
 
+def row_tw_stacks(w_u64, n1: int, n2: int, to_rep):
+    """Host-side pre-transposed per-stage row twiddle tables: stage s ->
+    rep of shape (2^s, 1, n1) holding the (n1, 2^s)-viewed, transposed
+    slice of the global table (exactly what _row_tw derives IN-program).
+
+    Motivation (round-3 finding, docs/PERF.md): fwd_phase2 lowers to 17%
+    more flops than its mirror inv_phaseA with identical butterfly jaxprs;
+    the one structural difference from the Pallas path -- which does NOT
+    show the asymmetry -- is that the XLA path re-derives
+    ``reshape(n1, m2).T`` + slice inside every traced stage, and XLA
+    duplicates that relayout across fusion boundaries.  Building the
+    stacks host-side (the Pallas path's col_stack/row_stack idea,
+    kernels/pallas_fused.py:56-79) removes the in-program derivation.
+
+    ``to_rep`` converts a uint64 NumPy array to the kernel rep (e.g.
+    mm.from_u64, or uint32 cast for the single-limb path)."""
+    import numpy as np
+
+    logn2 = n2.bit_length() - 1
+    out = []
+    for s in range(logn2):
+        m2 = 1 << s
+        tab = np.ascontiguousarray(
+            w_u64[m2 * n1 : 2 * m2 * n1].reshape(n1, m2).T
+        ).reshape(m2, 1, n1)
+        out.append(to_rep(tab))
+    return tuple(out)
+
+
 def _row_tw(w_rep, m2: int, n1_size: int, col0, ncols: int):
     """Row-phase twiddles for stage s' (m2 = 2^s' groups within each row):
     global slice w[m2*N1 : 2*m2*N1] viewed (N1, m2), transposed to
@@ -173,6 +202,15 @@ def _row_tw_at(w_rep, m: int, L: int, c_high: int, n1_size: int, col0,
     )
 
 
+def _tab_tw_at(tabs, s: int, L: int, c_high: int, m: int, ncols: int):
+    """Level-L row twiddles from a pre-broadcast stack: tabs[s+L] is the
+    stage-(m * 2^L) table of shape (m*2^L, 1, ncols); take the c_high
+    slice (a static contiguous-slab view, no transpose)."""
+    return tmap(
+        lambda l: l.reshape(m, 1 << L, 1, ncols)[:, c_high], tabs[s + L]
+    )
+
+
 def fwd_phase1(a, ops, w, wc, q: int, n1_size: int, lanes: int,
                group: int = 1):
     """Forward column stages on (..., N1, L) -- all stages with m < N1.
@@ -199,11 +237,16 @@ def fwd_phase1(a, ops, w, wc, q: int, n1_size: int, lanes: int,
 
 
 def fwd_phase2(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
-               col0, ncols: int, group: int = 1, strict: bool = False):
+               col0, ncols: int, group: int = 1, strict: bool = False,
+               row_tabs=None):
     """Forward row stages on the transposed view (..., N2, ncols), where
     ncols is the local slice of the N1 axis starting at global column col0.
     With strict, the final 4q->q reduction is folded into the last stage
-    (no extra materialization pass)."""
+    (no extra materialization pass).
+
+    row_tabs: optional (tw_tabs, twc_tabs) pre-broadcast per-stage stacks
+    (see row_tw_stacks) replacing the in-program _row_tw derivation; only
+    valid for the full-width case (col0 == 0, ncols == n1_size)."""
     logn2 = n2_size.bit_length() - 1
     if logn2 == 0:
         return ops.reduce_4q_to_q(a, q) if strict else a
@@ -215,15 +258,22 @@ def fwd_phase2(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
         post = (lambda rep: ops.reduce_4q_to_q(rep, q)) if (strict and last) \
             else None
         if g == 1:
-            wo = _row_tw(w, m2, n1_size, col0, ncols)
-            wco = _row_tw(wc, m2, n1_size, col0, ncols)
+            if row_tabs is not None:
+                wo, wco = row_tabs[0][s], row_tabs[1][s]
+            else:
+                wo = _row_tw(w, m2, n1_size, col0, ncols)
+                wco = _row_tw(wc, m2, n1_size, col0, ncols)
             a = _stage_axis1(a, m2, tg, ncols,
                              lambda x, y: ops.fwd_bfly(x, y, wo, wco, q),
                              post=post)
         else:
-            def bfly_at(L, c_high, x, y, m2=m2):
-                wo = _row_tw_at(w, m2, L, c_high, n1_size, col0, ncols)
-                wco = _row_tw_at(wc, m2, L, c_high, n1_size, col0, ncols)
+            def bfly_at(L, c_high, x, y, m2=m2, s=s):
+                if row_tabs is not None:
+                    wo = _tab_tw_at(row_tabs[0], s, L, c_high, m2, ncols)
+                    wco = _tab_tw_at(row_tabs[1], s, L, c_high, m2, ncols)
+                else:
+                    wo = _row_tw_at(w, m2, L, c_high, n1_size, col0, ncols)
+                    wco = _row_tw_at(wc, m2, L, c_high, n1_size, col0, ncols)
                 return ops.fwd_bfly(x, y, wo, wco, q)
 
             a = _stage_group_axis1(a, g, m2, tg, ncols, bfly_at, post=post)
@@ -232,8 +282,10 @@ def fwd_phase2(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
 
 
 def inv_phaseA(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
-               col0, ncols: int, group: int = 1):
-    """Inverse row stages (global m = N/2 .. N1) on (..., N2, ncols)."""
+               col0, ncols: int, group: int = 1, row_tabs=None):
+    """Inverse row stages (global m = N/2 .. N1) on (..., N2, ncols).
+    row_tabs: optional pre-broadcast stacks over the INVERSE table (see
+    fwd_phase2)."""
     logn2 = n2_size.bit_length() - 1
     s_top = logn2
     while s_top > 0:
@@ -241,14 +293,21 @@ def inv_phaseA(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
         s = s_top - g
         m2, tg = 1 << s, n2_size >> (s + g)
         if g == 1:
-            wo = _row_tw(w, m2, n1_size, col0, ncols)
-            wco = _row_tw(wc, m2, n1_size, col0, ncols)
+            if row_tabs is not None:
+                wo, wco = row_tabs[0][s], row_tabs[1][s]
+            else:
+                wo = _row_tw(w, m2, n1_size, col0, ncols)
+                wco = _row_tw(wc, m2, n1_size, col0, ncols)
             a = _stage_axis1(a, m2, tg, ncols,
                              lambda x, y: ops.bkw_bfly(x, y, wo, wco, q))
         else:
-            def bfly_at(L, c_high, x, y, m2=m2):
-                wo = _row_tw_at(w, m2, L, c_high, n1_size, col0, ncols)
-                wco = _row_tw_at(wc, m2, L, c_high, n1_size, col0, ncols)
+            def bfly_at(L, c_high, x, y, m2=m2, s=s):
+                if row_tabs is not None:
+                    wo = _tab_tw_at(row_tabs[0], s, L, c_high, m2, ncols)
+                    wco = _tab_tw_at(row_tabs[1], s, L, c_high, m2, ncols)
+                else:
+                    wo = _row_tw_at(w, m2, L, c_high, n1_size, col0, ncols)
+                    wco = _row_tw_at(wc, m2, L, c_high, n1_size, col0, ncols)
                 return ops.bkw_bfly(x, y, wo, wco, q)
 
             a = _stage_group_axis1(a, g, m2, tg, ncols, bfly_at, reverse=True)
@@ -291,7 +350,7 @@ def inv_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, final_tmp, final_con,
 
 def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
                 strict: bool = True, keep_transposed: bool = False,
-                group: int | None = None):
+                group: int | None = None, row_tabs=None):
     """Forward NTT via six-step.  a_rep: rep of shape (..., N).  Returns rep
     of shape (..., N) in standard bit-reversed output order, or -- with
     keep_transposed -- in the (N2, N1)-flattened layout (the analog of the
@@ -311,7 +370,7 @@ def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
     a = fwd_phase1(a, ops, w_rep, w_con_rep, q, n1, n2, group=group)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     a = fwd_phase2(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1, group=group,
-                   strict=strict)
+                   strict=strict, row_tabs=row_tabs)
     if not keep_transposed:
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     return tmap(lambda l: l.reshape(lead + (n,)), a)
@@ -331,7 +390,7 @@ def fix_transposed_order(a, n1_log: int):
 def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
                 final_tmp: int, final_con: int, q: int,
                 n1_log: int | None = None, input_transposed: bool = False,
-                group: int | None = None):
+                group: int | None = None, row_tabs=None):
     """Inverse NTT via six-step (strict output).  final_tmp/final_con are
     the host-precomputed fused constants for the last stage (see
     kernels/radix2._final_mulop).  With input_transposed, the input is in
@@ -352,7 +411,8 @@ def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
     else:
         a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
-    a = inv_phaseA(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1, group=group)
+    a = inv_phaseA(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1, group=group,
+                   row_tabs=row_tabs)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     a = inv_phaseB(
         a, ops, w_rep, w_con_rep, n_inv_op, n_inv_con, final_tmp, final_con,

@@ -135,7 +135,8 @@ def shl64(x: U64Pair, k: int) -> U64Pair:
         return x
     lo, hi = x
     if k >= 32:
-        return jnp.zeros_like(lo), lo << (k - 32) if k > 32 else lo
+        new_hi = lo if k == 32 else lo << (k - 32)
+        return jnp.zeros_like(lo), new_hi
     return lo << k, (hi << k) | (lo >> (32 - k))
 
 

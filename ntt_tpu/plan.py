@@ -254,6 +254,38 @@ class NttPlan:
         )
 
 
+    # -- XLA six-step pre-broadcast row-twiddle stacks ---------------------
+    def dev_row_tabs(self, n1_log: int, nlimb: int, inverse: bool):
+        """(tw_tabs, twc_tabs) pre-transposed per-stage row twiddle stacks
+        for the XLA six-step row phases (kernels/sixstep.row_tw_stacks):
+        each a tuple over row stages s of reps shaped (2^s, 1, n1).
+        Removes the in-program reshape(n1, m2).T per stage, which round-3
+        profiling identified as the source of fwd_phase2's 17% flop
+        inflation (docs/PERF.md)."""
+        key = (n1_log, nlimb, inverse)
+        cache = self.__dict__.setdefault("_row_tab_cache", {})
+        if key not in cache:
+            import jax.numpy as jnp
+
+            from ntt_tpu.kernels import sixstep as ss
+
+            n1, n2 = 1 << n1_log, self.n >> n1_log
+            if inverse:
+                w = self.w_inv
+                wc = self.w_inv_con if nlimb == 2 else self.w_inv_con32
+            else:
+                w = self.w
+                wc = self.w_con if nlimb == 2 else self.w_con32
+            if nlimb == 2:
+                to_rep = mm.from_u64
+            else:
+                to_rep = lambda t: (jnp.asarray(t.astype(np.uint32)),)
+            cache[key] = (
+                ss.row_tw_stacks(w, n1, n2, to_rep),
+                ss.row_tw_stacks(wc, n1, n2, to_rep),
+            )
+        return cache[key]
+
     # -- Pallas fused-kernel twiddle stacks --------------------------------
     def pallas_tables(self, inverse: bool, n1_log: int, nlimb: int):
         """Stacked pre-broadcast per-stage twiddle tables for the Pallas

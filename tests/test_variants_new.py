@@ -304,3 +304,36 @@ def test_layouts_module():
     np.testing.assert_array_equal(lay.unfix(fixed), a)
     std = layouts.standard(16)
     np.testing.assert_array_equal(std.fix(a), a)
+
+
+@pytest.mark.parametrize("p", [FIXTURES_ALL[0], FIXTURES_ALL[13]],
+                         ids=fixture_id)
+@pytest.mark.parametrize("group", [1, 2, 4])
+def test_sixstep_row_tabs_bitexact(p, group, rng):
+    """The pre-broadcast row-twiddle-stack path (plan.dev_row_tabs ->
+    sixstep row_tabs) is bit-identical to the in-program _row_tw
+    derivation, at every stage grouping and both widths.  On-chip the two
+    lowerings are flop-identical and timing-neutral (round 4,
+    artifacts/ROWTAB_AB_r04.log), so the default stays in-program; this
+    test keeps the opt-in path correct."""
+    from ntt_tpu.kernels import sixstep as ss
+    from ntt_tpu.kernels.elems import U32Ops, U64Ops
+
+    plan = get_plan(p)
+    nlimb = 1 if plan.supports_u32_radix2 else 2
+    ops = U32Ops if nlimb == 1 else U64Ops
+    n1_log = ss.default_split(p.n)
+    if nlimb == 1:
+        w, wc, _, _ = plan.dev_r2_u32
+        w_rep, wc_rep = (w,), (wc,)
+    else:
+        w_rep, wc_rep, _, _ = plan.dev_r2_u64
+    tabs = plan.dev_row_tabs(n1_log, nlimb, False)
+    a = make_input(rng, p.n, p.q, batch=3)
+    a_rep = ops.from_host(a)
+    plain = ss.fwd_sixstep(a_rep, ops, w_rep, wc_rep, p.q, n1_log,
+                           strict=True, group=group)
+    tabbed = ss.fwd_sixstep(a_rep, ops, w_rep, wc_rep, p.q, n1_log,
+                            strict=True, group=group, row_tabs=tabs)
+    for x, y in zip(plain, tabbed):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
