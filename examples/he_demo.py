@@ -28,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from ntt_tpu.rns import RnsTower
+from ntt_tpu.rns import DeviceRnsTower
 
 
 def schoolbook_negacyclic(a, b, n):
@@ -65,7 +65,9 @@ def main():
 
     widths = tuple(int(w) for w in args.widths.split(","))
     t0 = time.time()
-    tower = RnsTower(args.m, q_bits=widths)
+    # device-resident tower: per-channel DeviceNtt handles, so the channel
+    # products run NTT -> pointwise -> inverse with ONE host hop total
+    tower = DeviceRnsTower(args.m, q_bits=widths)
     n = tower.n
     print(f"tower: N=2^{args.m}, moduli {[hex(q) for q in tower.moduli]} "
           f"(capacity {tower.modulus_product.bit_length()} bits, "

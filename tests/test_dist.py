@@ -185,3 +185,45 @@ def test_custom_split(rng):
         got = dist.dist_fwd_ntt(a, plan, mesh=mesh, n1_log=n1_log)
         want = api.fwd_ntt(a, p, variant="radix2")
         np.testing.assert_array_equal(got, want, err_msg=f"n1_log={n1_log}")
+
+
+@pytest.mark.full
+def test_dist_large_n_2_22(rng):
+    """N = 2^22 distributed, u32 path (BASELINE.json configs[4] mid-range:
+    2^20..2^24).  Full tier: the CPU-mesh compile at this size is slow."""
+    p = NttParams.generate(29, 22)
+    plan = get_plan(p)
+    mesh = dist.default_mesh(8)
+    a = make_input(rng, p.n, p.q)
+    f = dist.dist_fwd_ntt(a, plan, mesh=mesh)
+    back = dist.dist_inv_ntt(f, plan, mesh=mesh)
+    np.testing.assert_array_equal(back, a)
+    from ntt_tpu import refmodel as rm
+
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    np.testing.assert_array_equal(f, want)
+
+
+def test_scaling_model_predict():
+    """The analytic multi-chip efficiency model (tools/scaling_model.py)
+    is pure arithmetic over measured per-phase rows; pin it with a
+    hand-computed case.  X = batch*N*8 bytes; T_a2a = X/(8*W_l);
+    efficiency(D) = t1 / (D * (p1 + p2 + a2a))."""
+    import sys as _sys
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
+    from scaling_model import predict
+
+    rows = {
+        "m": 20, "batch": 4, "t1_us": 800.0,
+        "phases": {"4": {"p1_us": 110.0, "p2_us": 80.0},
+                   "8": {"p1_us": 55.0, "p2_us": 40.0}},
+    }
+    # X = 4 * 2^20 * 8 = 33.554432 MB; W_l = 100 GB/s -> a2a = X/(8e11) s
+    table = predict(rows, 100.0)
+    a2a_us = 4 * (1 << 20) * 8 / (8 * 100e9) * 1e6  # 41.94 us
+    assert abs(table[0]["a2a_us"] - round(a2a_us, 3)) < 1e-9
+    t4 = 110.0 + 80.0 + a2a_us
+    assert abs(table[0]["efficiency_pct"] - round(800.0 / (4 * t4) * 100, 1)) < 1e-9
+    t8 = 55.0 + 40.0 + a2a_us
+    assert table[1]["D"] == 8
+    assert abs(table[1]["speedup"] - round(800.0 / t8, 2)) < 1e-9

@@ -38,6 +38,11 @@ def main():
     ap.add_argument("--dirs", default="fwd,inv")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--compile-timeout", type=float, default=1500.0,
+                    help="per-fixture stall watchdog (seconds): if a "
+                    "fixture makes no progress for this long, print the "
+                    "wedge diagnosis + recovery protocol and exit(3) "
+                    "instead of silently eating the whole session")
     args = ap.parse_args()
 
     import jax
@@ -55,6 +60,34 @@ def main():
 
     dirs = args.dirs.split(",")
     failures = 0
+
+    # stall watchdog (VERDICT r3 #4): Mosaic compiles cannot be cancelled
+    # client-side, and a timeout-KILLED compile wedges the device path for
+    # ~25-30 min (docs/PERF.md "Compile-hang hazard") -- so instead of the
+    # caller's blind `timeout`, this watchdog bounds PER-FIXTURE progress
+    # and exits with an explicit diagnosis while later fixtures are still
+    # unqueued (a hung server compile blocks every compile behind it).
+    import threading
+
+    progress = {"t": time.monotonic(), "label": "startup"}
+
+    def _watch():
+        while True:
+            time.sleep(10)
+            stalled = time.monotonic() - progress["t"]
+            if stalled > args.compile_timeout:
+                print(
+                    f"WEDGE: no progress for {stalled:.0f}s inside "
+                    f"{progress['label']} -- a Mosaic compile is likely "
+                    "hung server-side.  Do NOT start more TPU clients; "
+                    "poll with a tiny jitted exec until EXEC-OK "
+                    "(~25-30 min; see CLAUDE.md recovery protocol).",
+                    flush=True,
+                )
+                _os._exit(3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
     for idx in (int(x) for x in args.fixtures.split(",")):
         p = FIXTURES[idx]
         plan = get_plan(p)
@@ -62,6 +95,8 @@ def main():
         rng = np.random.default_rng(idx)
         a = rng.integers(0, p.q, size=(args.batch, p.n), dtype=np.uint64)
         if "fwd" in dirs:
+            progress["t"], progress["label"] = time.monotonic(), (
+                f"fixture {idx} fwd")
             t0 = time.perf_counter()
             got = api.fwd_ntt(a, p, variant="pallas-fused")
             dt = time.perf_counter() - t0
@@ -74,6 +109,8 @@ def main():
                   f"pallas fwd {'OK' if ok else 'FAIL'}  ({dt:.1f}s)",
                   flush=True)
         if "inv" in dirs:
+            progress["t"], progress["label"] = time.monotonic(), (
+                f"fixture {idx} inv")
             t0 = time.perf_counter()
             f = api.fwd_ntt(a, p, variant="pallas-fused")
             back = api.inv_ntt(f, p, variant="pallas-fused")

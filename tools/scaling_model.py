@@ -1,0 +1,192 @@
+"""Analytic distributed-scaling model for the six-step NTT (VERDICT r3 #2).
+
+This box has ONE real TPU chip, so multi-chip efficiency cannot be
+measured directly.  What CAN be grounded in measurement is the compute
+side: the distributed transform's per-device programs are exactly
+fwd_phase1 at local shape (B, N1, N2/D) and fwd_phase2 (+ the two
+relayout transposes) at (B, N2, N1/D) (dist/sixstep.py:245-253) -- both
+run fine on one chip at the sharded shapes.  This tool measures those,
+then adds an explicit, stated-assumption communication term for the one
+collective (the all_to_all transpose), and emits predicted efficiency
+for D in {4, 8, 16} at N = 2^20..2^24 (BASELINE configs[4]).
+
+Communication model (1-D bidirectional ICI ring, the deployment shape
+named in dist/sixstep.py's docstring):
+
+  The all_to_all moves the full (B, N1, N2) array X = B*N*8 bytes (u64
+  rep: 2 x uint32 limbs).  Block (i -> j) is X/D^2 bytes and travels
+  min(|i-j|, D-|i-j|) hops; summing over pairs gives total link traffic
+  X*D/4, spread over 2D directed links of per-direction bandwidth W_l:
+
+      T_a2a ~= X / (8 * W_l)          (D >= 4; independent of D)
+
+  (the standard ring result that all-to-all costs ~1/4 of an all-gather
+  of the same array).  Default W_l = 90 GB/s per direction per link --
+  the published TPU v5p figure of 4,800 Gbit/s/chip total ICI across 6
+  links (3-D torus) gives 100 GB/s/link/direction; 90 leaves 10%
+  protocol margin.  Override with --ici-gbs.  This term is an
+  ASSUMPTION, not a measurement -- the compute terms are measurements.
+
+The model is deliberately conservative in one more way: it charges the
+full T_a2a serially (no comm/compute overlap), matching the round-3
+finding that overlap could not be demonstrated on any reachable backend
+(docs/PERF.md "Chunked comm/compute overlap").
+
+Usage:
+  real-chip measurement + model:  python tools/scaling_model.py --m 20,22
+  model-only from a saved JSON:   python tools/scaling_model.py --from-json artifacts/SCALING_MODEL_r04.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def predict(rows: dict, wl_gbs: float) -> list[dict]:
+    """rows: {"m": .., "batch": .., "t1_us": <D=1 whole-transform us>,
+    "phases": {D: {"p1_us": .., "p2_us": ..}}} -> per-D efficiency table.
+    Pure arithmetic (unit-tested in tests/test_dist.py)."""
+    out = []
+    n = 1 << rows["m"]
+    x_bytes = rows["batch"] * n * 8  # u64 rep: 2 x uint32
+    t_a2a_us = x_bytes / (8.0 * wl_gbs * 1e9) * 1e6
+    t1 = rows["t1_us"]
+    for d_str, ph in sorted(rows["phases"].items(), key=lambda kv: int(kv[0])):
+        d = int(d_str)
+        if d == 1:
+            continue
+        t_dev = ph["p1_us"] + ph["p2_us"] + t_a2a_us
+        eff = t1 / (d * t_dev)
+        out.append({
+            "D": d,
+            "p1_us": ph["p1_us"],
+            "p2_us": ph["p2_us"],
+            "a2a_us": round(t_a2a_us, 3),
+            "t_dev_us": round(t_dev, 3),
+            "speedup": round(t1 / t_dev, 2),
+            "efficiency_pct": round(eff * 100, 1),
+        })
+    return out
+
+
+def measure(m: int, batch: int, devices: list[int]) -> dict:
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from bench import _measure_loop
+    from ntt_tpu.kernels import sixstep as ss
+    from ntt_tpu.kernels.elems import U64Ops, tmap
+    from ntt_tpu.params import bench_params
+    from ntt_tpu.plan import get_plan
+    import jax.numpy as jnp
+
+    p = bench_params(m=m, q_bits=62)
+    plan = get_plan(p)
+    q = p.q
+    w, wc = plan.dev_r2_u64[0], plan.dev_r2_u64[1]
+    n = p.n
+    rng = np.random.default_rng(0)
+    group = ss.default_group(2)
+
+    rows = {"m": m, "batch": batch, "q_bits": 62, "phases": {}}
+
+    # D=1 whole-transform reference (the same program the size envelope uses)
+    n1_log_1 = ss.default_split(n)
+    a = U64Ops.from_host(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
+    sec = _measure_loop(
+        lambda x: ss.fwd_sixstep(x, U64Ops, w, wc, q, strict=True),
+        a, reps=5, k1=2, k2=10)
+    rows["t1_us"] = round(sec / batch * 1e6, 3)
+    print(f"  m={m} D=1 whole fwd_sixstep (n1_log={n1_log_1}): "
+          f"{rows['t1_us']} us/t", flush=True)
+
+    for d in devices:
+        # the n1_log the dist entry would pick for this (n, D)
+        n1_log = max(ss.default_split(n), (d - 1).bit_length())
+        n1, n2 = 1 << n1_log, n >> n1_log
+        assert n1 % d == 0 and n2 % d == 0, (n1, n2, d)
+
+        a1 = U64Ops.from_host(
+            rng.integers(0, q, size=(batch, n1, n2 // d), dtype=np.uint64))
+
+        def p1_body(x, n1=n1, n2=n2, dd=d):
+            return ss.fwd_phase1(x, U64Ops, w, wc, q, n1, n2 // dd,
+                                 group=group)
+
+        sec1 = _measure_loop(p1_body, a1, reps=5, k1=2, k2=10)
+
+        a2 = U64Ops.from_host(
+            rng.integers(0, q, size=(batch, n1 // d, n2), dtype=np.uint64))
+
+        def p2_body(x, n1=n1, n2=n2, dd=d):
+            # post-collective relayout + row stages + output relayout,
+            # exactly dist/sixstep.py:251-253 with col0=0 (the twiddle
+            # slice offset changes values, not cost)
+            x = tmap(lambda l: jnp.swapaxes(l, -1, -2), x)
+            x = ss.fwd_phase2(x, U64Ops, w, wc, q, n1, n2, 0, n1 // dd,
+                              group=group, strict=True)
+            return tmap(lambda l: jnp.swapaxes(l, -1, -2), x)
+
+        sec2 = _measure_loop(p2_body, a2, reps=5, k1=2, k2=10)
+        rows["phases"][str(d)] = {
+            "n1_log": n1_log,
+            "p1_us": round(sec1 / batch * 1e6, 3),
+            "p2_us": round(sec2 / batch * 1e6, 3),
+        }
+        print(f"  m={m} D={d} (n1_log={n1_log}): p1 {rows['phases'][str(d)]['p1_us']} "
+              f"p2 {rows['phases'][str(d)]['p2_us']} us/t", flush=True)
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--m", default="20,22")
+    ap.add_argument("--devices", default="1,4,8,16")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--ici-gbs", type=float, default=90.0,
+                    help="per-link per-direction ICI GB/s (assumption)")
+    ap.add_argument("--from-json", default=None)
+    ap.add_argument("--out", default="artifacts/SCALING_MODEL_r04.json")
+    args = ap.parse_args()
+
+    if args.from_json:
+        with open(args.from_json) as f:
+            all_rows = json.load(f)["measured"]
+    else:
+        import jax
+        print(f"scaling model: device={jax.devices()[0].device_kind} "
+              f"batch={args.batch}", flush=True)
+        all_rows = [
+            measure(int(m), args.batch,
+                    [d for d in map(int, args.devices.split(",")) if d > 1])
+            for m in args.m.split(",")
+        ]
+
+    result = {"ici_gbs_per_link_dir_assumed": args.ici_gbs,
+              "measured": all_rows, "predicted": {}}
+    for rows in all_rows:
+        table = predict(rows, args.ici_gbs)
+        result["predicted"][f"m{rows['m']}"] = table
+        print(f"\nN=2^{rows['m']} batch={rows['batch']} "
+              f"(D=1 measured {rows['t1_us']} us/t, "
+              f"W_l={args.ici_gbs} GB/s assumed):")
+        for r in table:
+            print(f"  D={r['D']:2d}: p1 {r['p1_us']:8.2f} + p2 {r['p2_us']:8.2f} "
+                  f"+ a2a {r['a2a_us']:7.2f} us -> speedup {r['speedup']:5.2f}x, "
+                  f"efficiency {r['efficiency_pct']:5.1f}%")
+    if not args.from_json:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"\nwrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
