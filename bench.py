@@ -166,13 +166,14 @@ def _headline_body(batch: int, m: int, q_bits: int, tile: int | None = None):
     (calibrated sweeps, v5e): the six-step kernel with the measured N2=64
     split wins at both widths; strict output chains as input.
 
-    tile: on the u64 path, run the batch as lax.map tiles of this many
-    rows -- the LARGE-batch mode (it always beats the direct large-batch
-    cliff: tiled@2048 5.0-7.1 us/t vs direct@2048 19.4).  It does NOT
-    beat the direct@128 headline: the closing 3-round interleaved study
-    (artifacts/TILED_HEADLINE_AB_r03.log) shows direct@128 stable at
-    4.80-4.82 while tiled/unrolled variants read 5.05-7.08 warm; early
-    4.43 tiled readings were device-state flukes.  The u32 path measured
+    tile: on the u64 path, run the batch as statically UNROLLED tiles of
+    this many rows -- the LARGE-batch mode (it always beats the direct
+    large-batch cliff: round 4 b1024 direct 8.45-8.82 us/t vs unrolled
+    5.59-5.80, lax.map 6.03-6.07; artifacts/BATCH_LAB_r04.log).  It does
+    NOT beat the direct@128 headline: the round-3 3-round interleaved
+    study (artifacts/TILED_HEADLINE_AB_r03.log) shows direct@128 stable
+    at 4.80-4.82 while tiled variants swing higher warm; early 4.43
+    tiled readings were device-state flukes.  The u32 path measured
     49% SLOWER tiled (compute-bound, nothing to amortize), so tile is
     ignored there."""
     import jax
@@ -202,14 +203,25 @@ def _headline_body(batch: int, m: int, q_bits: int, tile: int | None = None):
             return ss.fwd_sixstep(x_rep, U64Ops, w, wc, p.q, strict=True)
 
         if tile and batch > tile and batch % tile == 0:
-            ntile = batch // tile
+            import jax.numpy as jnp
 
-            def body(x_rep):
-                shaped = tuple(
-                    l.reshape((ntile, tile) + l.shape[1:]) for l in x_rep
-                )
-                out = jax.lax.map(one, shaped)
-                return tuple(l.reshape((batch,) + l.shape[2:]) for l in out)
+            ntile = batch // tile
+            if ntile <= 16:  # measured winner: statically unrolled chain
+                def body(x_rep):
+                    outs = [
+                        one(tuple(l[i * tile:(i + 1) * tile] for l in x_rep))
+                        for i in range(ntile)
+                    ]
+                    return tuple(jnp.concatenate(ls, axis=0)
+                                 for ls in zip(*outs))
+            else:  # bound program size at extreme batches
+                def body(x_rep):
+                    shaped = tuple(
+                        l.reshape((ntile, tile) + l.shape[1:]) for l in x_rep
+                    )
+                    out = jax.lax.map(one, shaped)
+                    return tuple(l.reshape((batch,) + l.shape[2:])
+                                 for l in out)
         else:
             body = one
     return p, body, a_rep

@@ -919,6 +919,29 @@ register(
 # ---------------------------------------------------------------------------
 
 
+# Serving-batch tiling policy (measured, artifacts/BATCH_LAB_r04.log +
+# docs/PERF.md batch study): the u64 path falls off a VMEM-residency cliff
+# above ~512 rows (b1024 direct 8.5-8.8 us/t vs 5.6-5.8 in 128-row
+# unrolled tiles); the u32 path is compute-bound and tiling LOSES 49%.
+# Per width: (batch threshold, tile) or None.
+_AUTO_BATCH_POLICY: dict[int, tuple | None] = {64: (512, 128), 32: None}
+
+# statically unrolled tile chains beyond this many tiles fall back to
+# lax.map (bounds compile time/program size; 16 tiles measured fine)
+_UNROLL_MAX_TILES = 16
+
+
+def _auto_batch_tile(plan: NttPlan, batch: int,
+                     allow_pad: bool = False) -> int | None:
+    """Measured serving policy: the tile DeviceNtt(batch_tile="auto")
+    applies for this plan/batch (None = run direct).  Non-divisible
+    batches only tile when the caller opted into pad_to_tile."""
+    pol = _AUTO_BATCH_POLICY[32 if plan.supports_u32_radix2 else 64]
+    if pol and batch > pol[0] and (allow_pad or batch % pol[1] == 0):
+        return pol[1]
+    return None
+
+
 class DeviceNtt:
     """Device-resident transform handle for serving pipelines.
 
@@ -935,16 +958,26 @@ class DeviceNtt:
     """
 
     def __init__(self, params_or_plan, lazy: bool = False,
-                 batch_tile: int | None = None, pad_to_tile: bool = False):
-        """batch_tile: process batches in lax.map tiles of this many rows.
+                 batch_tile: "int | str | None" = "auto",
+                 pad_to_tile: bool = False, tile_mode: str = "unroll"):
+        """batch_tile: process large batches in tiles of this many rows.
         Per-transform time is strongly batch-dependent (XLA keeps stage
         intermediates VMEM-resident below ~32MB working sets, docs/PERF.md);
         tiling recovers most of the small-batch rate for large serving
-        batches (measured u64 N=2^14: batch 1024 direct 8.5 us/t, tiled
-        by 128 -> 6.2).  Batches that are <= the tile or not divisible by
-        it fall back to the direct (untiled) program -- correct but
+        batches.  "auto" (default) applies the measured policy
+        (_auto_batch_tile): u64 batches > 512 run as 128-row tiles
+        (measured u64 N=2^14 b1024: direct 8.5-8.8 us/t, lax.map 6.0-6.1,
+        unrolled 5.6-5.8 -- artifacts/BATCH_LAB_r04.log); the u32 path
+        never tiles (measured 49% slower).  None disables tiling; an int
+        forces that tile.  Batches that are <= the tile or not divisible
+        by it fall back to the direct (untiled) program -- correct but
         measurably slower for large batches, so size serving batches as a
         multiple of the tile.
+
+        tile_mode: "unroll" (default; statically unrolled tile chain,
+        measured faster and run-to-run stabler than lax.map) or "map"
+        (lax.map; smaller programs, used automatically beyond
+        _UNROLL_MAX_TILES tiles to bound compile size).
 
         pad_to_tile: instead of that fallback, zero-pad non-divisible
         batches > the tile up to the next multiple, run tiled, and slice
@@ -954,6 +987,7 @@ class DeviceNtt:
         explicit opt-in so the cost model stays in the caller's hands."""
         self.plan = _resolve(params_or_plan)
         self._batch_tile = batch_tile
+        self._tile_mode = tile_mode
         self._pad_to_tile = pad_to_tile
         plan = self.plan
         self.ops = U32Ops if plan.supports_u32_radix2 else U64Ops
@@ -977,8 +1011,7 @@ class DeviceNtt:
             self.ops.nlimb,
         )
         self._pointwise = _jit_pointwise(plan.q, self.ops.nlimb)
-        self._fwd_tiled = self._make_tiled(self._fwd) if batch_tile else None
-        self._inv_tiled = self._make_tiled(self._inv) if batch_tile else None
+        self._tiled_cache: dict = {}
 
     # rep <-> host
     def from_host(self, a) -> tuple:
@@ -987,27 +1020,52 @@ class DeviceNtt:
     def to_host(self, rep) -> np.ndarray:
         return self.ops.to_host(rep)
 
-    def _make_tiled(self, core):
-        tile = self._batch_tile
+    def _resolve_tile(self, batch: int) -> int | None:
+        """The tile to use for this batch: the forced int, the measured
+        auto policy, or None (direct)."""
+        t = self._batch_tile
+        if t == "auto":
+            t = _auto_batch_tile(self.plan, batch,
+                                 allow_pad=self._pad_to_tile)
+        if not t or batch <= t:
+            return None
+        return t
+
+    def _make_tiled(self, core, tile: int, key):
+        """Tiled program for `core`, cached per (core key, tile, mode).
+        Mode "unroll" chains the tiles as a statically unrolled Python
+        loop (measured faster and stabler than lax.map at serving
+        batches, artifacts/BATCH_LAB_r04.log); beyond _UNROLL_MAX_TILES
+        tiles it falls back to lax.map to bound program size."""
+        cache_key = (key, tile)
+        if cache_key in self._tiled_cache:
+            return self._tiled_cache[cache_key]
         nlimb = self.ops.nlimb
 
         def run(*flat):
             rep = flat[:nlimb]
             tabs = flat[nlimb:]
             batch = rep[0].shape[0]
-            shaped = tuple(
-                l.reshape((batch // tile, tile) + l.shape[1:]) for l in rep
-            )
+            nt = batch // tile
+            if self._tile_mode == "unroll" and nt <= _UNROLL_MAX_TILES:
+                outs = [
+                    core(*(l[i * tile:(i + 1) * tile] for l in rep), *tabs)
+                    for i in range(nt)
+                ]
+                return tuple(jnp.concatenate(ls, axis=0)
+                             for ls in zip(*outs))
+            shaped = tuple(l.reshape((nt, tile) + l.shape[1:]) for l in rep)
             out = jax.lax.map(lambda t: core(*t, *tabs), shaped)
             return tuple(l.reshape((batch,) + l.shape[2:]) for l in out)
 
-        return jax.jit(run)
+        fn = jax.jit(run)
+        self._tiled_cache[cache_key] = fn
+        return fn
 
-    def _maybe_pad(self, rep):
+    def _maybe_pad(self, rep, tile):
         """(padded rep, original batch) when pad_to_tile applies to this
         rep's batch, else (rep, None).  Zero rows are valid lazy inputs;
         callers slice the pad off the output."""
-        tile = self._batch_tile
         if (not tile or not self._pad_to_tile or rep[0].ndim < 2
                 or rep[0].shape[0] <= tile or rep[0].shape[0] % tile == 0):
             return rep, None
@@ -1018,23 +1076,24 @@ class DeviceNtt:
             for l in rep
         ), batch
 
-    def _dispatch(self, fn, tiled_fn, rep, tabs1, tabs2, row_tabs):
-        tile = self._batch_tile
-        if not tile or rep[0].ndim < 2 or rep[0].shape[0] <= tile:
+    def _dispatch(self, fn, key, rep, tabs1, tabs2, row_tabs):
+        tile = self._resolve_tile(rep[0].shape[0]) if rep[0].ndim >= 2 else None
+        if not tile:
             return fn(*rep, *tabs1, *tabs2, row_tabs)
-        rep2, batch = self._maybe_pad(rep)
+        rep2, batch = self._maybe_pad(rep, tile)
         if rep2[0].shape[0] % tile:  # non-divisible, pad_to_tile off
             return fn(*rep, *tabs1, *tabs2, row_tabs)
+        tiled_fn = self._make_tiled(fn, tile, key)
         out = tiled_fn(*rep2, *tabs1, *tabs2, row_tabs)
         return out if batch is None else tuple(l[:batch] for l in out)
 
     # device ops (rep -> rep, all jitted+cached)
     def fwd(self, rep) -> tuple:
-        return self._dispatch(self._fwd, self._fwd_tiled, rep, self._w,
+        return self._dispatch(self._fwd, "fwd", rep, self._w,
                               self._wc, self._rt_f)
 
     def inv(self, rep) -> tuple:
-        return self._dispatch(self._inv, self._inv_tiled, rep, self._wi,
+        return self._dispatch(self._inv, "inv", rep, self._wi,
                               self._wic, self._rt_i)
 
     def pointwise(self, rep_a, rep_b) -> tuple:
@@ -1043,14 +1102,68 @@ class DeviceNtt:
     def negacyclic(self, rep_a, rep_b) -> tuple:
         """Full product, one chained device program (no host hops).  With
         pad_to_tile, a non-divisible batch is padded ONCE here and sliced
-        once at the end, so the three chained stages reuse the tiled
-        program without re-padding per stage."""
-        rep_a, batch = self._maybe_pad(rep_a)
-        rep_b, _ = self._maybe_pad(rep_b)
-        out = self.inv(self.pointwise(self.fwd(rep_a), self.fwd(rep_b)))
+        once at the end.
+
+        When batch tiling engages, the whole chain runs PER TILE
+        (fwd a, fwd b, pointwise, inv) with ONE final concatenate --
+        the round-4 lab localized the tiled path's residual overhead to
+        the full-batch output concatenate (b1024 u64 fwd: 4.99 us/t
+        without it vs 5.74 with, artifacts/BATCH_LAB2_r04.log), so
+        chaining per tile pays that cost once instead of three times."""
+        tile = (self._resolve_tile(rep_a[0].shape[0])
+                if rep_a[0].ndim >= 2 else None)
+        rep_a, batch = self._maybe_pad(rep_a, tile)
+        rep_b, _ = self._maybe_pad(rep_b, tile)
+        if tile and rep_a[0].shape[0] % tile == 0:
+            out = self._tiled_negacyclic(tile)(
+                *rep_a, *rep_b, self._w, self._wc, self._wi, self._wic,
+                self._rt_f, self._rt_i,
+            )
+        else:
+            out = self.inv(self.pointwise(self.fwd(rep_a), self.fwd(rep_b)))
         if batch is not None:
             out = tuple(l[:batch] for l in out)
         return out
+
+    def _tiled_negacyclic(self, tile: int):
+        key = ("negacyclic", tile)
+        if key in self._tiled_cache:
+            return self._tiled_cache[key]
+        nlimb = self.ops.nlimb
+        fwd, inv, pw = self._fwd, self._inv, self._pointwise
+
+        def chain_one(ta, tb, w, wc, wi, wic, rt_f, rt_i):
+            fa = fwd(*ta, *w, *wc, rt_f)
+            fb = fwd(*tb, *w, *wc, rt_f)
+            return inv(*pw(fa, fb), *wi, *wic, rt_i)
+
+        def run(*flat):
+            ra = flat[:nlimb]
+            rb = flat[nlimb : 2 * nlimb]
+            w, wc, wi, wic, rt_f, rt_i = flat[2 * nlimb :]
+            nt = ra[0].shape[0] // tile
+            cut = lambda rep, i: tuple(
+                l[i * tile:(i + 1) * tile] for l in rep)
+            if self._tile_mode == "unroll" and nt <= _UNROLL_MAX_TILES:
+                outs = [
+                    chain_one(cut(ra, i), cut(rb, i), w, wc, wi, wic,
+                              rt_f, rt_i)
+                    for i in range(nt)
+                ]
+                return tuple(jnp.concatenate(ls, axis=0)
+                             for ls in zip(*outs))
+            shape_t = lambda rep: tuple(
+                l.reshape((nt, tile) + l.shape[1:]) for l in rep)
+            out = jax.lax.map(
+                lambda t: chain_one(t[0], t[1], w, wc, wi, wic, rt_f, rt_i),
+                (shape_t(ra), shape_t(rb)),
+            )
+            batch = ra[0].shape[0]
+            return tuple(l.reshape((batch,) + l.shape[2:]) for l in out)
+
+        fn = jax.jit(run)
+        self._tiled_cache[key] = fn
+        return fn
 
 
 # ---------------------------------------------------------------------------

@@ -163,3 +163,42 @@ def test_negacyclic_mul_batched(rng):
         np.testing.assert_array_equal(
             got[i], _schoolbook_negacyclic(a[i], b[i], small.q)
         )
+
+
+def test_device_ntt_tile_modes_bitexact(rng):
+    """unroll-mode and map-mode tiled programs are bit-identical to the
+    direct program (the serving default is unroll; beyond
+    _UNROLL_MAX_TILES tiles unroll mode falls back to lax.map)."""
+    small = NttParams.generate(29, 7)
+    a = make_input(rng, small.n, small.q, batch=12)
+    want = api.fwd_ntt(a, small, variant="sixstep")
+    for mode in ("unroll", "map"):
+        ctx = api.DeviceNtt(small, batch_tile=4, tile_mode=mode)
+        got = ctx.to_host(ctx.fwd(ctx.from_host(a)))
+        np.testing.assert_array_equal(got, want, err_msg=mode)
+    # unroll beyond the cap silently uses lax.map: 12/1 = 12 tiles < 16,
+    # so force the fallback with a tiny cap
+    ctx = api.DeviceNtt(small, batch_tile=1, tile_mode="unroll")
+    old = api._UNROLL_MAX_TILES
+    try:
+        api._UNROLL_MAX_TILES = 2
+        got = ctx.to_host(ctx.fwd(ctx.from_host(a)))
+    finally:
+        api._UNROLL_MAX_TILES = old
+    np.testing.assert_array_equal(got, want)
+
+
+def test_auto_batch_tile_policy():
+    """The measured serving policy (artifacts/BATCH_LAB_r04.log): u64
+    batches > 512 tile by 128; u32 never tiles; non-divisible batches
+    tile only with pad_to_tile."""
+    from ntt_tpu.plan import get_plan
+
+    p64 = get_plan(NttParams.generate(50, 14))
+    p32 = get_plan(NttParams.generate(29, 14))
+    assert api._auto_batch_tile(p64, 1024) == 128
+    assert api._auto_batch_tile(p64, 512) is None      # at the threshold
+    assert api._auto_batch_tile(p64, 2048) == 128
+    assert api._auto_batch_tile(p64, 1000) is None     # non-divisible
+    assert api._auto_batch_tile(p64, 1000, allow_pad=True) == 128
+    assert api._auto_batch_tile(p32, 4096) is None     # u32: tiling loses
