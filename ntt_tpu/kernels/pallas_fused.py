@@ -84,8 +84,10 @@ def _vmem_bytes(tile_b: int, n: int, nlimb: int) -> int:
     # v5e (the unrolled stage chain's temporaries are NOT reused): ~14
     # live u32 words per element for the single-limb chain, ~114 for the
     # limb-pair chain (mul64_full intermediates).  Observed: u64 tile 16
-    # @ N=2^14 -> 119.04MB exceeds the 110MB scoped-vmem limit; tile 8
-    # compiles and runs.
+    # @ N=2^14 -> modeled 116.75MiB exceeds the 110MB scoped-vmem limit;
+    # tile 8 (modeled 59.75MiB) compiles and runs.  The model's points are
+    # pinned by test_pallas_vmem_model_calibration_points and re-validated
+    # against real Mosaic compiles by tools/mosaic_check.py --vmem-probe.
     logn = n.bit_length() - 1
     words_per_elem = 14 if nlimb == 1 else 114
     tables = 4 * nlimb * 2 * logn * (n // 2)

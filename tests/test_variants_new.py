@@ -274,6 +274,32 @@ def test_radix4_family_61bit_bound(rng):
     )
 
 
+def test_pallas_vmem_model_calibration_points():
+    """Pins _vmem_bytes / default_tile_b at the on-chip calibration points
+    (VERDICT r3 #5): u64 N=2^14 tile 16 -> 116.75MiB > the 110MB scoped-vmem
+    limit (observed Mosaic failure), tile 8 -> 59.75MiB (observed compile+run
+    OK, re-validated by `tools/mosaic_check.py --vmem-probe` each round).
+    Any edit to the model's constants now fails HERE instead of silently
+    flipping the guard from protective to wrong; if the probe shows the
+    Mosaic boundary itself moved, update the model AND these pins together."""
+    from ntt_tpu.kernels import pallas_fused as pf
+
+    n = 1 << 14
+    mb = 1 << 20
+    # u64 (limb-pair chain): the calibrated boundary sits between 8 and 16
+    assert pf._vmem_bytes(16, n, 2) == 122421248  # 116.75 MiB > 110 guard
+    assert pf._vmem_bytes(8, n, 2) == 62652416    # 59.75 MiB: compiles+runs
+    assert pf.default_tile_b(n, 2, batch=1024) == 8
+    # u32 (single-limb chain): 14 live words/elem -> 64-row tiles
+    assert pf._vmem_bytes(128, n, 1) > 80 * mb  # stops the doubling
+    assert pf.default_tile_b(n, 1, batch=1024) == 64
+    # tiny batches never tile above the batch itself
+    assert pf.default_tile_b(n, 2, batch=8) == 8
+    # the guard threshold the ValueError fires at (kept in sync with the
+    # vmem_limit_bytes compiler param)
+    assert pf._vmem_bytes(16, n, 2) > 110 * mb
+
+
 def test_pallas_vmem_guard():
     """Configurations whose working set cannot fit VMEM raise a clear
     error (not a Mosaic crash) when compiled for real; interpret mode

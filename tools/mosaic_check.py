@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--dirs", default="fwd,inv")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--vmem-probe", action="store_true",
+                    help="validate the _vmem_bytes model against real "
+                    "Mosaic compiles at the headline shape (u64 N=2^14): "
+                    "the modeled-max tile (8) must compile+run, and tile "
+                    "16 -- modeled OVER the 110MB scoped-vmem limit, guard "
+                    "bypassed -- must be REJECTED by Mosaic (a clean "
+                    "compile there means the model went stale-protective)")
     ap.add_argument("--compile-timeout", type=float, default=1500.0,
                     help="per-fixture stall watchdog (seconds): if a "
                     "fixture makes no progress for this long, print the "
@@ -88,7 +95,56 @@ def main():
 
     threading.Thread(target=_watch, daemon=True).start()
 
-    for idx in (int(x) for x in args.fixtures.split(",")):
+    if args.vmem_probe:
+        from ntt_tpu.kernels import pallas_fused as pf
+        from ntt_tpu.kernels.elems import U64Ops
+        from ntt_tpu.params import bench_params
+
+        p = bench_params(m=14, q_bits=62)
+        plan = get_plan(p)
+        n1_log = pf.pick_split(p.n)
+        tabs = plan.pallas_tables(False, n1_log, 2)
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, p.q, size=(8, p.n), dtype=np.uint64)
+        a_rep = U64Ops.from_host(a)
+
+        # below the boundary: modeled-max tile must compile + verify
+        progress["t"], progress["label"] = time.monotonic(), "vmem-probe t8"
+        t0 = time.perf_counter()
+        got = U64Ops.to_host(
+            pf.fwd_fused(a_rep, U64Ops, tabs, p.q, n1_log, tile_b=8))
+        want = rm.fwd_ntt_harvey(a[0], p.q, plan.w, plan.w_con)
+        ok = bool((got[0] == want).all())
+        failures += not ok
+        print(f"vmem-probe tile 8 (modeled {pf._vmem_bytes(8, p.n, 2) >> 20}"
+              f"MiB): {'OK' if ok else 'FAIL'}  "
+              f"({time.perf_counter() - t0:.1f}s)", flush=True)
+
+        # above the boundary: bypass the python guard, expect Mosaic's own
+        # scoped-vmem rejection (the vmem_limit_bytes compiler param turns
+        # the overflow into a compile error, not a hang)
+        progress["t"], progress["label"] = time.monotonic(), "vmem-probe t16"
+        t0 = time.perf_counter()
+        real_model = pf._vmem_bytes
+        pf._vmem_bytes = lambda *a_, **k_: 0  # guard off for the probe
+        try:
+            U64Ops.to_host(
+                pf.fwd_fused(a_rep, U64Ops, tabs, p.q, n1_log, tile_b=16))
+            rejected = False
+        except Exception as e:
+            rejected = True
+            reason = f"{type(e).__name__}: {str(e)[:140]}"
+        finally:
+            pf._vmem_bytes = real_model
+        failures += not rejected
+        print(f"vmem-probe tile 16 (modeled "
+              f"{real_model(16, p.n, 2) >> 20}MiB, guard bypassed): "
+              f"{'REJECTED as modeled -- OK' if rejected else 'COMPILED -- model stale-protective, FAIL'}"
+              f"  ({time.perf_counter() - t0:.1f}s)", flush=True)
+        if rejected:
+            print(f"  {reason}", flush=True)
+
+    for idx in (int(x) for x in args.fixtures.split(",") if x):
         p = FIXTURES[idx]
         plan = get_plan(p)
         nlimb = 1 if plan.supports_u32_radix2 else 2
