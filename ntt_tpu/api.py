@@ -1212,9 +1212,23 @@ def _auto_variant(plan: NttPlan) -> str:
     return "sixstep"
 
 
+def _plan_device_handle(plan: NttPlan) -> "DeviceNtt":
+    """Per-plan cached DeviceNtt (auto tiling policy) backing the host
+    API's serving-batch routing."""
+    if "_devntt_auto" not in plan.__dict__:
+        plan.__dict__["_devntt_auto"] = DeviceNtt(plan)
+    return plan.__dict__["_devntt_auto"]
+
+
 def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
     """Forward negacyclic NTT.  a: uint64 array (..., N), values in [0, q)
-    (or the variant's documented lazy input bound).  Returns uint64."""
+    (or the variant's documented lazy input bound).  Returns uint64.
+
+    variant="auto" is batch-aware: past the measured u64 serving-batch
+    cliff (batch > 512, artifacts/BATCH_LAB_r04.log) the strict six-step
+    runs as unrolled 128-row tiles via the plan's DeviceNtt handle
+    (bit-exact with the direct program; b1024 measured 8.5-8.8 us/t
+    direct vs 5.6-5.8 tiled)."""
     plan = _resolve(params_or_plan)
     name = _auto_variant(plan) if variant == "auto" else variant
     v = get_variant(name)
@@ -1224,6 +1238,10 @@ def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
         )
     a = np.asarray(a, dtype=np.uint64)
     assert a.shape[-1] == plan.n, f"last dim {a.shape[-1]} != N {plan.n}"
+    if (variant == "auto" and name == "sixstep" and not lazy
+            and a.ndim == 2 and _auto_batch_tile(plan, a.shape[0])):
+        ctx = _plan_device_handle(plan)
+        return ctx.to_host(ctx.fwd(ctx.from_host(a)))
     return v.fwd(plan, a, lazy)
 
 
@@ -1345,4 +1363,8 @@ def inv_ntt(a, params_or_plan, variant: str = "auto"):
         )
     a = np.asarray(a, dtype=np.uint64)
     assert a.shape[-1] == plan.n
+    if (variant == "auto" and name == "sixstep" and a.ndim == 2
+            and _auto_batch_tile(plan, a.shape[0])):
+        ctx = _plan_device_handle(plan)
+        return ctx.to_host(ctx.inv(ctx.from_host(a)))
     return v.inv(plan, a)

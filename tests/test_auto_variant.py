@@ -76,3 +76,30 @@ def test_auto_table_matches_recorded_sweep():
         if got != winner:
             mismatches.append((key, got, winner, row))
     assert not mismatches, mismatches
+
+
+def test_auto_batch_routing_bitexact():
+    """variant='auto' past the u64 serving-batch cliff routes through the
+    plan's tiled DeviceNtt handle (BATCH_LAB_r04 policy) and stays
+    bit-identical to the direct sixstep program, fwd and inv."""
+    from ntt_tpu.params import NttParams
+
+    p = NttParams.generate(62, 7)
+    plan = get_plan(p)
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, p.q, size=(640, p.n), dtype=np.uint64)  # 5 tiles
+    assert api._auto_batch_tile(plan, 640) == 128  # the policy engages
+    want = api.fwd_ntt(a, p, variant="sixstep")
+    got = api.fwd_ntt(a, p, variant="auto")
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(
+        api.inv_ntt(got, p, variant="auto"),
+        api.inv_ntt(want, p, variant="sixstep"),
+    )
+    # lazy and below-cliff calls keep the direct path (no tiled handle
+    # built for them)
+    small = rng.integers(0, p.q, size=(64, p.n), dtype=np.uint64)
+    np.testing.assert_array_equal(
+        api.fwd_ntt(small, p, variant="auto"),
+        api.fwd_ntt(small, p, variant="sixstep"),
+    )
