@@ -72,8 +72,22 @@ def main():
     ctx_direct = api.DeviceNtt(p, batch_tile=None)
 
     def nega_body(ctx, b_rep):
+        # NOTE (round-1 finding): with a loop-INVARIANT second operand,
+        # XLA's while-loop LICM hoists fwd(b) out of the measurement loop,
+        # so this body times fwd+pw+inv (one forward), not a full 2-fwd
+        # product.  Kept for the tile-strategy comparison (every row
+        # shares the artifact); the honest ct-mul number comes from the
+        # pair rows below.
         def body(x):
             return ctx.negacyclic(x, b_rep)
+        return body
+
+    def nega_pair_body(ctx):
+        # both operands loop-varying (b_{k+1} = a_k): nothing hoistable,
+        # each iteration pays 2 fwd + pointwise + inv + concat
+        def body(ab):
+            a, b = ab
+            return ctx.negacyclic(a, b), a
         return body
 
     def stagewise(x):
@@ -81,27 +95,31 @@ def main():
         return ctx_auto.inv(
             ctx_auto.pointwise(ctx_auto.fwd(x), ctx_auto.fwd(bB)))
 
+    a128_rep = tuple(l[:128] for l in aB)
     rows = [
-        ("fwd auto@1024 (concat)", ctx_auto.fwd, aB, 1.0),
-        ("nega chain@1024", nega_body(ctx_auto, bB), aB, 3.0),
-        ("nega chain-map@1024", nega_body(ctx_map, bB), aB, 3.0),
-        ("nega stagewise@1024", stagewise, aB, 3.0),
-        ("nega direct@1024", nega_body(ctx_direct, bB), aB, 3.0),
-        ("nega direct@128", nega_body(ctx_direct, b128),
-         tuple(l[:128] for l in aB), 3.0),
+        # label, body, x0, batch, transforms-per-iteration
+        ("fwd auto@1024 (concat)", ctx_auto.fwd, aB, B, 1.0),
+        ("nega chain@1024 (LICM)", nega_body(ctx_auto, bB), aB, B, 3.0),
+        ("nega chain-map@1024 (LICM)", nega_body(ctx_map, bB), aB, B, 3.0),
+        ("nega stagewise@1024 (LICM)", stagewise, aB, B, 3.0),
+        ("nega direct@1024 (LICM)", nega_body(ctx_direct, bB), aB, B, 3.0),
+        ("nega PAIR chain@1024", nega_pair_body(ctx_auto), (aB, bB), B, 3.0),
+        ("nega PAIR direct@1024", nega_pair_body(ctx_direct), (aB, bB),
+         B, 3.0),
+        ("nega PAIR direct@128", nega_pair_body(ctx_direct),
+         (a128_rep, b128), 128, 3.0),
     ]
     for r in range(args.rounds):
         print(f"--- round {r + 1}/{args.rounds} ---", flush=True)
         sec = _measure_loop(fwd_one, a128, reps=5, k1=2, k2=18)
         print(f"  control fwd direct@128     {sec / 128 * 1e6:8.3f} us/t "
               f"({128 / sec:12,.0f} tps)", flush=True)
-        for label, body, x0, ntrans in rows:
-            b = x0[0].shape[0]
+        for label, body, x0, b, ntrans in rows:
             sec = _measure_loop(body, x0, reps=5, k1=2, k2=18)
             ut = sec / (b * ntrans) * 1e6
             extra = (f"  ({sec / b * 1e6:8.3f} us/ct-mul)"
                      if ntrans > 1 else "")
-            print(f"  {label:26s} {ut:8.3f} us/t{extra}", flush=True)
+            print(f"  {label:28s} {ut:8.3f} us/t{extra}", flush=True)
 
 
 if __name__ == "__main__":

@@ -46,11 +46,19 @@ def main():
         rng.integers(0, p.q, size=(B, tower.n), dtype=np.uint64)
         for p in tower.params
     ])
-    reps = tower.from_host(ch)
+    ch2 = np.stack([
+        rng.integers(0, p.q, size=(B, tower.n), dtype=np.uint64)
+        for p in tower.params
+    ])
+    reps = (tower.from_host(ch), tower.from_host(ch2))
 
-    def body(x):
-        # squaring chain: strict outputs are valid next inputs
-        return tower.negacyclic(x, x)
+    def body(ab):
+        # both operands loop-varying (b_{k+1} = a_k): squaring or a fixed
+        # second operand lets XLA CSE/hoist one of the two forwards out of
+        # the measured loop (see CLAUDE.md LICM note); this pair chain
+        # pays the full 2 fwd + pointwise + inv per channel per iteration
+        a, b = ab
+        return tower.negacyclic(a, b), a
 
     sec = _measure_loop(body, reps, reps=5, k1=2, k2=14)
     print(f"  ct-mul ({len(widths)} ch): {sec / B * 1e6:8.3f} us/ct-mul "
