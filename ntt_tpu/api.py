@@ -1186,26 +1186,34 @@ def _resolve(params_or_plan) -> NttPlan:
 # points users at, README.md:61-67).  Keyed by limb width (the plan's
 # supports_u32_radix2 split); each row is (max_m, variant) and the first
 # row with m <= max_m wins (None = unbounded tail).
-_AUTO_TABLE: dict[int, tuple] = {
-    32: ((8, "radix4-u32"), (None, "sixstep")),
-    64: ((None, "sixstep"),),
+_AUTO_TABLE: dict[str, dict[int, tuple]] = {
+    # direction -> width -> ((max_m, variant), ...) rows, first legal row
+    # whose max_m admits the plan wins; None = no size cap.
+    "fwd": {
+        32: ((8, "radix4-u32"), (None, "sixstep")),
+        64: ((None, "sixstep"),),
+    },
+    "inv": {
+        32: ((8, "radix4-u32"), (None, "sixstep")),
+        64: ((None, "sixstep"),),
+    },
 }
 
 
-def _auto_variant(plan: NttPlan) -> str:
-    """Measured-fastest path for this (q-width, N): table-driven from the
-    calibrated v5e sweeps (_AUTO_TABLE; see README 'Performance').  The
-    six-step kernel with the measured N2=64 split wins at both modulus
+def _auto_variant(plan: NttPlan, inverse: bool = False) -> str:
+    """Measured-fastest path for this (direction, q-width, N): table-driven
+    from the calibrated v5e sweeps (_AUTO_TABLE; see README 'Performance').
+    The six-step kernel with the measured N2=64 split wins at both modulus
     widths for the serving sizes (q62 N=2^14: 4.82 us/t vs 8.28 flat
-    radix-2, AUTO_SWEEP_r03.json); the small-N tail flips: at N=2^8/q27
-    the flat radix-4 kernel beats the split (0.0156 vs 0.0184 ms/batch).
-    A table row whose variant cannot admit the plan's q (radix-4's 8q
-    lazy bound caps it below the limb path's own bound) falls through to
-    the next row."""
+    radix-2, AUTO_SWEEP_r03/r04.json); the small-N tail flips: at N=2^8/q27
+    the flat radix-4 kernel beats the split (0.0156 vs 0.0184 ms/batch),
+    forward AND inverse (the round-4 inverse sweep).  A table row whose
+    variant cannot admit the plan's q (radix-4's 8q lazy bound caps it
+    below the limb path's own bound) falls through to the next row."""
     width = 32 if plan.supports_u32_radix2 else 64
     m = plan.params.m
     qb = plan.q.bit_length()
-    for max_m, name in _AUTO_TABLE[width]:
+    for max_m, name in _AUTO_TABLE["inv" if inverse else "fwd"][width]:
         if max_m is None or m <= max_m:
             if qb <= get_variant(name).max_q_bits:
                 return name
@@ -1353,7 +1361,7 @@ def fwd_ntt_dbl(a, b, params_or_plan, variant: str = "auto", lazy: bool = False)
 def inv_ntt(a, params_or_plan, variant: str = "auto"):
     """Inverse negacyclic NTT (strict output in [0, q))."""
     plan = _resolve(params_or_plan)
-    name = _auto_variant(plan) if variant == "auto" else variant
+    name = _auto_variant(plan, inverse=True) if variant == "auto" else variant
     v = get_variant(name)
     if v.inv is None:
         raise ValueError(f"variant {name} has no inverse kernel")
