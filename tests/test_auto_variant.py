@@ -18,8 +18,14 @@ from ntt_tpu import api
 from ntt_tpu.params import bench_params
 from ntt_tpu.plan import get_plan
 
-_ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                    "artifacts", "AUTO_SWEEP_r03.json")
+_ART_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts")
+# newest recorded sweep wins; r04 adds _inv and batch-cliff rows
+_ART = next(
+    (p for p in (os.path.join(_ART_DIR, f"AUTO_SWEEP_r{n:02d}.json")
+                 for n in range(9, 2, -1)) if os.path.exists(p)),
+    os.path.join(_ART_DIR, "AUTO_SWEEP_r03.json"),
+)
 
 
 def test_auto_variant_always_legal():
@@ -60,12 +66,25 @@ def test_auto_table_matches_recorded_sweep():
         sweep = json.load(f)
     mismatches = []
     for key, row in sweep.items():
-        qb, m = (int(x[1:]) for x in key.split("_"))
+        parts = key.split("_")
+        qb, m = int(parts[0][1:]), int(parts[1][1:])
+        inverse = len(parts) > 2 and parts[2] == "inv"
+        if len(parts) > 2 and parts[2].startswith("b"):
+            # batch-cliff rows pin the serving-tile policy instead
+            batch = int(parts[2][1:])
+            plan = get_plan(bench_params(m=m, q_bits=qb))
+            tiled = api._auto_batch_tile(plan, batch) is not None
+            pick = "tiled-unroll" if tiled else "direct"
+            winner = row["winner"]
+            if (pick != winner and pick in row
+                    and row[pick] > row[winner] * 1.03):
+                mismatches.append((key, pick, winner, row))
+            continue
         p = bench_params(m=m, q_bits=qb)
         plan = get_plan(p)
         # the sweep keys bodies by width-generic family ("radix4"); the
         # dispatcher returns the registry name for the plan's limb width
-        got = api._auto_variant(plan).replace("-u32", "")
+        got = api._auto_variant(plan, inverse=inverse).replace("-u32", "")
         winner = row["winner"]
         # within-noise margin: accept the table's pick when it measured
         # within 3% of the sweep winner (loop-differencing run-to-run
