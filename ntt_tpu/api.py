@@ -366,7 +366,7 @@ def _row_tabs(plan: NttPlan, nlimb: int, inverse: bool,
     if os.environ.get("NTT_ROW_TABS", "0") != "1":
         return None
     if n1_log is None:
-        n1_log = sixstep.default_split(plan.n)
+        n1_log = sixstep.default_split(plan.n, nlimb=nlimb)
     return plan.dev_row_tabs(n1_log, nlimb, inverse)
 
 
@@ -422,7 +422,8 @@ def _sixstep_unordered_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarr
     (src/ntt_radix4_avx512_ifma_unordered.c): callers repair order with
     output_layout(...).fix, or never repair at all when chaining
     NTT -> pointwise -> inverse-NTT."""
-    n1_log = sixstep.default_split(plan.n)
+    n1_log = sixstep.default_split(
+        plan.n, nlimb=1 if plan.supports_u32_radix2 else 2)
     if plan.supports_u32_radix2:
         w, wc, _, _ = plan.dev_r2_u32
         ops, w_rep, wc_rep = U32Ops, (w,), (wc,)
@@ -441,7 +442,8 @@ def _sixstep_unordered_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
     first six-step transpose): an unordered fwd -> pointwise -> this inv
     chain never materializes standard order.  New scope -- the reference's
     unordered variant is forward-only."""
-    n1_log = sixstep.default_split(plan.n)
+    n1_log = sixstep.default_split(
+        plan.n, nlimb=1 if plan.supports_u32_radix2 else 2)
     word = 32 if plan.supports_u32_radix2 else 64
     ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
     f_tmp, f_con = radix2._final_mulop(
@@ -482,7 +484,8 @@ def output_layout(variant: str, params_or_plan):
 
     plan = _resolve(params_or_plan)
     if variant == "sixstep-unordered":
-        return layouts.transposed(plan.n, sixstep.default_split(plan.n))
+        return layouts.transposed(plan.n, sixstep.default_split(
+            plan.n, nlimb=1 if plan.supports_u32_radix2 else 2))
     if variant == "radix4-vec-unordered":
         return layouts.radix4_vec_unordered(plan.n)
     return layouts.standard(plan.n)
@@ -991,7 +994,8 @@ class DeviceNtt:
         self._pad_to_tile = pad_to_tile
         plan = self.plan
         self.ops = U32Ops if plan.supports_u32_radix2 else U64Ops
-        self._n1_log = sixstep.default_split(plan.n)
+        self._n1_log = sixstep.default_split(
+            plan.n, nlimb=1 if plan.supports_u32_radix2 else 2)
         word = 32 if self.ops is U32Ops else 64
         ninv_con = plan.n_inv_con32 if word == 32 else plan.n_inv_con
         f_tmp, f_con = radix2._final_mulop(

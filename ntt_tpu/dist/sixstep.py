@@ -318,7 +318,11 @@ def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     n = plan.n
     logn = n.bit_length() - 1
     if n1_log is None:
-        n1_log = max(sixstep.default_split(n), (ndev - 1).bit_length())
+        n1_log = max(
+            sixstep.default_split(
+                n, nlimb=1 if plan.supports_u32_radix2 else 2),
+            (ndev - 1).bit_length(),
+        )
     n1 = 1 << n1_log
     n2 = 1 << (logn - n1_log)
 
@@ -345,7 +349,11 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     n = plan.n
     logn = n.bit_length() - 1
     if n1_log is None:
-        n1_log = max(sixstep.default_split(n), (ndev - 1).bit_length())
+        n1_log = max(
+            sixstep.default_split(
+                n, nlimb=1 if plan.supports_u32_radix2 else 2),
+            (ndev - 1).bit_length(),
+        )
     n1 = 1 << n1_log
     n2 = 1 << (logn - n1_log)
 
@@ -436,7 +444,11 @@ def dist_negacyclic_mul(a: np.ndarray, b: np.ndarray, plan: NttPlan,
     n = plan.n
     logn = n.bit_length() - 1
     if n1_log is None:
-        n1_log = max(sixstep.default_split(n), (ndev - 1).bit_length())
+        n1_log = max(
+            sixstep.default_split(
+                n, nlimb=1 if plan.supports_u32_radix2 else 2),
+            (ndev - 1).bit_length(),
+        )
     n1 = 1 << n1_log
     n2 = 1 << (logn - n1_log)
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ntt_tpu.kernels.elems import tmap
 
 
-def default_split(n: int, min_lanes: int = 128) -> int:
+def default_split(n: int, min_lanes: int = 128, nlimb: int = 1) -> int:
     """Pick n1 (log2 N1), from v5e measurements (see README performance):
 
     * N in [2^12, 2^17]: N2 = 64 is consistently fastest (2^12: 0.21 vs
@@ -44,6 +44,13 @@ def default_split(n: int, min_lanes: int = 128) -> int:
       real: at 2^18 balanced wins 25.0 vs 132.6 us/t and at 2^22 it wins
       159.8 vs 3079.8 -- N2=64 collapses once N1 rows no longer fit the
       compiler's working set.
+    * EXCEPTION (u64, N=2^16): the limb-pair working set hits the
+      compiler cliff two octaves early -- the round-4 3-round interleaved
+      study (artifacts/M16_STABILITY_r04.json, control band 0.4%) has the
+      balanced N2=256 split at 24.7-25.3 us/t for batch<=64 vs 41.3-46.8
+      for N2=64, and neutral-to-better at batch 128 (29.9-31.4 vs
+      30.0-32.0).  The u32 single-limb path keeps N2=64 (measured faster
+      there, round 2).  Callers that know their limb width pass nlimb.
     * N >= 2^23: the balanced split collapses (N=2^24: 37.8 ms/t balanced
       vs 10.75 with n1=256 -- 64MB transposes / per-stage row-twiddle
       reshapes hit an XLA pathology); cap n1 at 2^8.
@@ -51,6 +58,8 @@ def default_split(n: int, min_lanes: int = 128) -> int:
     logn = n.bit_length() - 1
     if logn >= 23:
         return min(logn // 2, 8)
+    if logn == 16 and nlimb == 2:
+        return 8  # N2 = 256
     if 12 <= logn <= 17:
         return logn - 6  # N2 = 64
     n1 = logn // 2
@@ -360,7 +369,7 @@ def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
     n = a_rep[0].shape[-1]
     logn = n.bit_length() - 1
     if n1_log is None:
-        n1_log = default_split(n)
+        n1_log = default_split(n, nlimb=ops.nlimb)
     if group is None:
         group = default_group(ops.nlimb)
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
@@ -400,7 +409,7 @@ def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
     n = a_rep[0].shape[-1]
     logn = n.bit_length() - 1
     if n1_log is None:
-        n1_log = default_split(n)
+        n1_log = default_split(n, nlimb=ops.nlimb)
     if group is None:
         group = default_group(ops.nlimb)
     n1, n2 = 1 << n1_log, 1 << (logn - n1_log)
