@@ -37,15 +37,19 @@ from ntt_tpu.plan import get_plan
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--m", type=int, default=16,
+                    help="transform size to study (u64)")
     ap.add_argument("--batches", default="32,64,128")
     ap.add_argument("--n1-logs", default="8,10")
-    ap.add_argument("--out", default="artifacts/M16_STABILITY_r04.json")
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = f"artifacts/M{args.m}_STABILITY_r04.json"
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from bench import _measure_loop
 
-    print(f"m16 stability: device={jax.devices()[0].device_kind}",
+    print(f"m{args.m} stability: device={jax.devices()[0].device_kind}",
           flush=True)
 
     # control: the rock-stable N=2^14 direct@128 program
@@ -59,7 +63,7 @@ def main():
     def control(x):
         return ss.fwd_sixstep(x, U64Ops, w14, wc14, p14.q, strict=True)
 
-    p16 = bench_params(m=16, q_bits=62)
+    p16 = bench_params(m=args.m, q_bits=62)
     plan16 = get_plan(p16)
     q = p16.q
     w16, wc16 = plan16.dev_r2_u64[0], plan16.dev_r2_u64[1]
@@ -91,7 +95,7 @@ def main():
             sec = _measure_loop(body_for(s), inputs[b], reps=5, k1=2, k2=6)
             ut = sec / b * 1e6
             results["rows"][f"b{b}_n1log{s}"].append(round(ut, 3))
-            print(f"  m16 b{b:3d} n1_log={s:2d}        {ut:8.3f} us/t "
+            print(f"  m{args.m} b{b:3d} n1_log={s:2d}        {ut:8.3f} us/t "
                   f"({b / sec:10,.0f} tps)", flush=True)
 
     print("\nsummary (min..max us/t, band % of min):")
