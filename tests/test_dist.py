@@ -207,7 +207,9 @@ def test_dist_large_n_2_22(rng):
 def test_scaling_model_predict():
     """The analytic multi-chip efficiency model (tools/scaling_model.py)
     is pure arithmetic over measured per-phase rows; pin it with a
-    hand-computed case.  X = batch*N*8 bytes; T_a2a = X/(8*W_l);
+    hand-computed case.  All terms are us per TRANSFORM: the one
+    all_to_all moves N*8 bytes per transform (batch amortizes dispatch,
+    not bytes), T_a2a = N*8/(8*W_l);
     efficiency(D) = t1 / (D * (p1 + p2 + a2a))."""
     import sys as _sys
     _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent / "tools"))
@@ -218,9 +220,9 @@ def test_scaling_model_predict():
         "phases": {"4": {"p1_us": 110.0, "p2_us": 80.0},
                    "8": {"p1_us": 55.0, "p2_us": 40.0}},
     }
-    # X = 4 * 2^20 * 8 = 33.554432 MB; W_l = 100 GB/s -> a2a = X/(8e11) s
+    # per transform: 2^20 * 8 = 8.389 MB; W_l = 100 GB/s -> a2a = 10.49 us
     table = predict(rows, 100.0)
-    a2a_us = 4 * (1 << 20) * 8 / (8 * 100e9) * 1e6  # 41.94 us
+    a2a_us = (1 << 20) * 8 / (8 * 100e9) * 1e6
     assert abs(table[0]["a2a_us"] - round(a2a_us, 3)) < 1e-9
     t4 = 110.0 + 80.0 + a2a_us
     assert abs(table[0]["efficiency_pct"] - round(800.0 / (4 * t4) * 100, 1)) < 1e-9

@@ -53,7 +53,11 @@ def predict(rows: dict, wl_gbs: float) -> list[dict]:
     Pure arithmetic (unit-tested in tests/test_dist.py)."""
     out = []
     n = 1 << rows["m"]
-    x_bytes = rows["batch"] * n * 8  # u64 rep: 2 x uint32
+    # per-TRANSFORM bytes moved by the one all_to_all (u64 rep: 2 x
+    # uint32 = 8 B/coeff); every other term in the table is us per
+    # transform, so the comm term must be too (the batch amortizes
+    # dispatch, not bytes -- each transform's coefficients all cross)
+    x_bytes = n * 8
     t_a2a_us = x_bytes / (8.0 * wl_gbs * 1e9) * 1e6
     t1 = rows["t1_us"]
     for d_str, ph in sorted(rows["phases"].items(), key=lambda kv: int(kv[0])):
