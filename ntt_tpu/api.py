@@ -930,8 +930,11 @@ register(
 _AUTO_BATCH_POLICY: dict[int, tuple | None] = {64: (512, 128), 32: None}
 
 # statically unrolled tile chains beyond this many tiles fall back to
-# lax.map (bounds compile time/program size; 16 tiles measured fine)
-_UNROLL_MAX_TILES = 16
+# lax.map: the round-4 cliff sweep (AUTO_SWEEP_r04.json) has unroll ahead
+# at 8 tiles (b1024: 5.35 vs map 5.95 us/t) and map ahead at 16
+# (b2048: map 5.72 vs unroll 6.06) -- program size catches up with the
+# unrolled chain somewhere between
+_UNROLL_MAX_TILES = 8
 
 
 def _auto_batch_tile(plan: NttPlan, batch: int,
@@ -1195,10 +1198,10 @@ _AUTO_TABLE: dict[str, dict[int, tuple]] = {
     # whose max_m admits the plan wins; None = no size cap.
     "fwd": {
         32: ((8, "radix4-u32"), (None, "sixstep")),
-        64: ((None, "sixstep"),),
+        64: ((8, "radix2"), (None, "sixstep")),
     },
     "inv": {
-        32: ((8, "radix4-u32"), (None, "sixstep")),
+        32: ((None, "sixstep"),),
         64: ((None, "sixstep"),),
     },
 }
@@ -1208,12 +1211,15 @@ def _auto_variant(plan: NttPlan, inverse: bool = False) -> str:
     """Measured-fastest path for this (direction, q-width, N): table-driven
     from the calibrated v5e sweeps (_AUTO_TABLE; see README 'Performance').
     The six-step kernel with the measured N2=64 split wins at both modulus
-    widths for the serving sizes (q62 N=2^14: 4.82 us/t vs 8.28 flat
-    radix-2, AUTO_SWEEP_r03/r04.json); the small-N tail flips: at N=2^8/q27
-    the flat radix-4 kernel beats the split (0.0156 vs 0.0184 ms/batch),
-    forward AND inverse (the round-4 inverse sweep).  A table row whose
-    variant cannot admit the plan's q (radix-4's 8q lazy bound caps it
-    below the limb path's own bound) falls through to the next row."""
+    widths for the serving sizes (q62 N=2^14: 4.72 us/t vs 8.06 flat
+    radix-2, AUTO_SWEEP_r04.json); the small-N tail flips per direction:
+    at N=2^8 the flat kernels beat the split overhead on the FORWARD only
+    (q27 radix-4 0.0156 vs 0.0183 us/t, q62 radix-2 0.0849 vs 0.0915),
+    while the inverse six-step wins even there (q27 0.0159 vs radix-4
+    0.0175; q62 0.0712 vs radix-2 0.0914 -- its fused final stage
+    amortizes the split cost).  A table row whose variant cannot admit
+    the plan's q (radix-4's 8q lazy bound caps it below the limb path's
+    own bound) falls through to the next row."""
     width = 32 if plan.supports_u32_radix2 else 64
     m = plan.params.m
     qb = plan.q.bit_length()

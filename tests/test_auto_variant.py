@@ -73,8 +73,13 @@ def test_auto_table_matches_recorded_sweep():
             # batch-cliff rows pin the serving-tile policy instead
             batch = int(parts[2][1:])
             plan = get_plan(bench_params(m=m, q_bits=qb))
-            tiled = api._auto_batch_tile(plan, batch) is not None
-            pick = "tiled-unroll" if tiled else "direct"
+            tile = api._auto_batch_tile(plan, batch)
+            if tile is None:
+                pick = "direct"
+            elif batch // tile <= api._UNROLL_MAX_TILES:
+                pick = "tiled-unroll"
+            else:
+                pick = "tiled-map"
             winner = row["winner"]
             if (pick != winner and pick in row
                     and row[pick] > row[winner] * 1.03):

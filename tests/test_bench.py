@@ -82,3 +82,26 @@ def test_bench_tile_flag():
     j = lines[0]
     assert "q62bit" in j["metric"] and "batch256" in j["metric"]
     assert j["value"] > 0
+
+
+def test_bench_suite_control_rows(tmp_path):
+    """--suite writes the per-variant JSON with the interleaved-control
+    header (name, readings, band_pct) and measures exactly the --only
+    bodies.  Also the regression lock for the round-4 NameError: the w56
+    q-gate refactor left modmath unimported inside _suite_bodies, which
+    broke every --suite run."""
+    sj = tmp_path / "suite.json"
+    r = _run_bench(args=("--suite", "--suite-json", str(sj),
+                         "--only", "radix2-u32,sixstep-u32",
+                         "--controls", "1", "--budget-s", "200"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(sj) as f:
+        data = json.load(f)
+    assert set(data["variants"]) == {"radix2-u32", "sixstep-u32"}
+    for row in data["variants"].values():
+        assert row["us_per_transform"] > 0
+    ctl = data["control"]
+    assert ctl["name"] == "sixstep-u32"
+    # --controls 1 with 2 rows: control before, between, and after
+    assert len(ctl["readings"]) == 3
+    assert ctl["band_pct"] >= 0
