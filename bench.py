@@ -105,7 +105,8 @@ def _arm_watchdog(budget: _Budget, grace: float = 12.0) -> None:
 
 
 def _measure_loop(body, x0, reps: int, k1: int, k2: int,
-                  target_s: float = 2.0, budget: _Budget | None = None) -> float:
+                  target_s: float = 2.0, budget: _Budget | None = None,
+                  consts=None) -> float:
     """Per-iteration device time via on-device loop differencing:
     jit(fori_loop(k, body)) timed at k=k1 and k=k2 (same executable,
     dynamic trip count); returns (T(k2)-T(k1))/(k2-k1) using min-of-reps.
@@ -122,18 +123,36 @@ def _measure_loop(body, x0, reps: int, k1: int, k2: int,
 
     With a budget, calibration and retries degrade gracefully: target_s
     shrinks when time is short and the loop never starts a phase it cannot
-    afford (the result is then noisier but finite)."""
+    afford (the result is then noisier but finite).
+
+    consts: optional tuple of (pytrees of) arrays the body needs beyond
+    the chained state, called as body(x, *consts).  They are passed as
+    jit ARGUMENTS, not closure constants -- closed-over tables get
+    inlined into the serialized StableHLO module, and at N=2^24 the
+    O(N)-sized twiddle tables blow past the axon remote-compile
+    request-size limit (HTTP 413, SCALING_MODEL_M24_r04.log)."""
     import jax
     import numpy as np
     from jax import lax
 
-    @jax.jit
-    def run(x, k):
-        return lax.fori_loop(0, k, lambda i, v: body(v), x)
+    if consts is None:
+        @jax.jit
+        def run(x, k):
+            return lax.fori_loop(0, k, lambda i, v: body(v), x)
+
+        def call(k):
+            return run(x0, k)
+    else:
+        @jax.jit
+        def run(x, cs, k):
+            return lax.fori_loop(0, k, lambda i, v: body(v, *cs), x)
+
+        def call(k):
+            return run(x0, consts, k)
 
     def timed(k):
         t0 = time.perf_counter()
-        out = run(x0, k)
+        out = call(k)
         np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
         return time.perf_counter() - t0
 

@@ -101,12 +101,15 @@ def measure(m: int, batch: int, devices: list[int]) -> dict:
 
     rows = {"m": m, "batch": batch, "q_bits": 62, "phases": {}}
 
-    # D=1 whole-transform reference (the same program the size envelope uses)
+    # D=1 whole-transform reference (the same program the size envelope
+    # uses).  The O(N) twiddle tables ride as jit arguments (consts=):
+    # inlined-constant modules exceed the remote-compile size cap at
+    # N=2^24 (HTTP 413).
     n1_log_1 = ss.default_split(n)
     a = U64Ops.from_host(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
     sec = _measure_loop(
-        lambda x: ss.fwd_sixstep(x, U64Ops, w, wc, q, strict=True),
-        a, reps=5, k1=2, k2=10)
+        lambda x, w, wc: ss.fwd_sixstep(x, U64Ops, w, wc, q, strict=True),
+        a, reps=5, k1=2, k2=10, consts=(w, wc))
     rows["t1_us"] = round(sec / batch * 1e6, 3)
     print(f"  m={m} D=1 whole fwd_sixstep (n1_log={n1_log_1}): "
           f"{rows['t1_us']} us/t", flush=True)
@@ -120,16 +123,17 @@ def measure(m: int, batch: int, devices: list[int]) -> dict:
         a1 = U64Ops.from_host(
             rng.integers(0, q, size=(batch, n1, n2 // d), dtype=np.uint64))
 
-        def p1_body(x, n1=n1, n2=n2, dd=d):
+        def p1_body(x, w, wc, n1=n1, n2=n2, dd=d):
             return ss.fwd_phase1(x, U64Ops, w, wc, q, n1, n2 // dd,
                                  group=group)
 
-        sec1 = _measure_loop(p1_body, a1, reps=5, k1=2, k2=10)
+        sec1 = _measure_loop(p1_body, a1, reps=5, k1=2, k2=10,
+                             consts=(w, wc))
 
         a2 = U64Ops.from_host(
             rng.integers(0, q, size=(batch, n1 // d, n2), dtype=np.uint64))
 
-        def p2_body(x, n1=n1, n2=n2, dd=d):
+        def p2_body(x, w, wc, n1=n1, n2=n2, dd=d):
             # post-collective relayout + row stages + output relayout,
             # exactly dist/sixstep.py:251-253 with col0=0 (the twiddle
             # slice offset changes values, not cost)
@@ -138,7 +142,8 @@ def measure(m: int, batch: int, devices: list[int]) -> dict:
                               group=group, strict=True)
             return tmap(lambda l: jnp.swapaxes(l, -1, -2), x)
 
-        sec2 = _measure_loop(p2_body, a2, reps=5, k1=2, k2=10)
+        sec2 = _measure_loop(p2_body, a2, reps=5, k1=2, k2=10,
+                             consts=(w, wc))
         rows["phases"][str(d)] = {
             "n1_log": n1_log,
             "p1_us": round(sec1 / batch * 1e6, 3),
