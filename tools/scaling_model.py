@@ -78,7 +78,8 @@ def predict(rows: dict, wl_gbs: float) -> list[dict]:
     return out
 
 
-def measure(m: int, batch: int, devices: list[int]) -> dict:
+def measure(m: int, batch: int, devices: list[int],
+            n1_log_override: int | None = None) -> dict:
     import jax
     import numpy as np
 
@@ -105,10 +106,12 @@ def measure(m: int, batch: int, devices: list[int]) -> dict:
     # uses).  The O(N) twiddle tables ride as jit arguments (consts=):
     # inlined-constant modules exceed the remote-compile size cap at
     # N=2^24 (HTTP 413).
-    n1_log_1 = ss.default_split(n)
+    n1_log_1 = (n1_log_override if n1_log_override is not None
+                else ss.default_split(n))
     a = U64Ops.from_host(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
     sec = _measure_loop(
-        lambda x, w, wc: ss.fwd_sixstep(x, U64Ops, w, wc, q, strict=True),
+        lambda x, w, wc: ss.fwd_sixstep(x, U64Ops, w, wc, q, n1_log=n1_log_1,
+                                        strict=True),
         a, reps=5, k1=2, k2=10, consts=(w, wc))
     rows["t1_us"] = round(sec / batch * 1e6, 3)
     print(f"  m={m} D=1 whole fwd_sixstep (n1_log={n1_log_1}): "
@@ -116,7 +119,7 @@ def measure(m: int, batch: int, devices: list[int]) -> dict:
 
     for d in devices:
         # the n1_log the dist entry would pick for this (n, D)
-        n1_log = max(ss.default_split(n), (d - 1).bit_length())
+        n1_log = max(n1_log_1, (d - 1).bit_length())
         n1, n2 = 1 << n1_log, n >> n1_log
         assert n1 % d == 0 and n2 % d == 0, (n1, n2, d)
 
@@ -161,6 +164,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--ici-gbs", type=float, default=90.0,
                     help="per-link per-direction ICI GB/s (assumption)")
+    ap.add_argument("--n1-log", type=int, default=None,
+                    help="override the split (default: sixstep.default_split)")
     ap.add_argument("--from-json", default=None)
     ap.add_argument("--out", default="artifacts/SCALING_MODEL_r04.json")
     args = ap.parse_args()
@@ -174,7 +179,8 @@ def main():
               f"batch={args.batch}", flush=True)
         all_rows = [
             measure(int(m), args.batch,
-                    [d for d in map(int, args.devices.split(",")) if d > 1])
+                    [d for d in map(int, args.devices.split(",")) if d > 1],
+                    n1_log_override=args.n1_log)
             for m in args.m.split(",")
         ]
 
