@@ -69,6 +69,11 @@ def _emit_json() -> None:
         "unit": "transforms/s",
         "vs_baseline": _RESULT.get("vs_baseline"),
     }
+    if _RESULT.get("band_pct") is not None:
+        # spread of the two refined headline readings (min-of-2 protocol):
+        # the session-drift annotation the suite already carries, at zero
+        # extra device time
+        line["band_pct"] = _RESULT["band_pct"]
     if _RESULT.get("degraded"):
         line["degraded"] = _RESULT["degraded"]
     for k, v in _RESULT.items():  # secondary rows (also_batch{N}_tps, ...)
@@ -287,6 +292,12 @@ def headline(batch: int, reps: int, inner: int, m: int = 14, q_bits: int = 62,
         if sec_full > 0 and (budget is None or budget.remaining() > 90):
             sec_again = _measure_loop(body, a_rep, reps=reps, k1=2,
                                       k2=2 + inner, budget=budget)
+            if sec_again > 0:
+                # annotate the min-of-2 with its spread (the headline's
+                # session-drift band, from the two readings already taken)
+                _RESULT["band_pct"] = round(
+                    abs(sec_again - sec) / min(sec_again, sec) * 100, 1
+                )
             if 0 < sec_again < sec:
                 sec = sec_again
                 _RESULT["value"] = round(batch / sec, 1)

@@ -631,9 +631,34 @@ def _jit_inv_pallas(
     return jax.jit(core)
 
 
-def _pallas_interpret() -> bool:
-    # real Mosaic kernels on TPU; interpreter elsewhere (CPU tests)
-    return jax.default_backend() != "tpu"
+# Backends known to execute Mosaic (Pallas TPU) kernels natively.  Pinned
+# as an explicit allowlist rather than a raw `!= "tpu"` compare so a plugin
+# reporting an unexpected platform string cannot silently flip every
+# pallas-fused call onto the (orders-of-magnitude slower) interpreter;
+# unknown non-CPU backends fall back to the interpreter WITH a warning.
+_PALLAS_NATIVE_BACKENDS = frozenset({"tpu"})
+_PALLAS_INTERPRET_BACKENDS = frozenset({"cpu"})  # tests / virtual meshes
+
+
+def _pallas_interpret(backend: str | None = None) -> bool:
+    """True when pallas-fused must run in interpreter mode for `backend`
+    (default: the active jax backend).  Native Mosaic on the allowlisted
+    TPU platforms; silent interpreter on CPU (the test mesh); interpreter
+    WITH a warning for anything unrecognized."""
+    b = jax.default_backend() if backend is None else backend
+    if b in _PALLAS_NATIVE_BACKENDS:
+        return False
+    if b not in _PALLAS_INTERPRET_BACKENDS:
+        import warnings
+
+        warnings.warn(
+            f"pallas-fused: unrecognized backend {b!r}; falling back to the "
+            "Pallas interpreter (correct but slow). Add the platform to "
+            "api._PALLAS_NATIVE_BACKENDS if it executes Mosaic natively.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return True
 
 
 def _pallas_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
@@ -844,10 +869,12 @@ def _r4_vec_unord_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_inv_r4_vec(q: int, n_inv_op: int, n_inv_con: int):
+def _jit_inv_r4_vec(q: int, n_inv_op: int, n_inv_con: int,
+                    unordered: bool = False):
     def core(alo, ahi, tlo, thi, clo, chi):
         return radix4.inv_vec_u64(
-            (alo, ahi), (tlo, thi), (clo, chi), n_inv_op, n_inv_con, q
+            (alo, ahi), (tlo, thi), (clo, chi), n_inv_op, n_inv_con, q,
+            unordered,
         )
 
     return jax.jit(core)
@@ -857,6 +884,15 @@ def _r4_vec_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
     tab, tab_con = plan.dev_r4_vec_inv_u64
     alo, ahi = mm.from_u64(a)
     fn = _jit_inv_r4_vec(plan.q, plan.params.n_inv, plan.n_inv_con)
+    return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
+
+
+def _r4_vec_unord_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    """Layout-consuming inverse: accepts the lane-permuted
+    radix4_vec_unordered order directly (no fix_a_order pass)."""
+    tab, tab_con = plan.dev_r4_vec_inv_unord_u64
+    alo, ahi = mm.from_u64(a)
+    fn = _jit_inv_r4_vec(plan.q, plan.params.n_inv, plan.n_inv_con, True)
     return mm.to_u64(fn(alo, ahi, tab[0], tab[1], tab_con[0], tab_con[1]))
 
 
@@ -878,13 +914,16 @@ register(
     Variant(
         "radix4-vec-unordered",
         fwd=_r4_vec_unord_fwd,
-        inv=None,
+        inv=_r4_vec_unord_inv,
         max_q_bits=61,
         description="radix4-vec with the lane-permuted FWD1 region of "
         "expand_w_r4(unordered=True): the final stage processes groups in "
         "the table's (0,4,1,5,2,6,3,7) order and stores linearly; output "
         "layout = layouts.radix4_vec_unordered (fix_a_order analog, "
-        "src/ntt_radix4_avx512_ifma_unordered.c)",
+        "src/ntt_radix4_avx512_ifma_unordered.c); the inverse (new scope "
+        "-- the reference is forward-only) CONSUMES that layout directly "
+        "via the unordered inverse-root table, so fwd -> pointwise -> inv "
+        "never materializes standard order",
     )
 )
 register(
@@ -1230,12 +1269,24 @@ def _auto_variant(plan: NttPlan, inverse: bool = False) -> str:
     return "sixstep"
 
 
-def _plan_device_handle(plan: NttPlan) -> "DeviceNtt":
+def _plan_device_handle(plan: NttPlan, lazy: bool = False) -> "DeviceNtt":
     """Per-plan cached DeviceNtt (auto tiling policy) backing the host
-    API's serving-batch routing."""
-    if "_devntt_auto" not in plan.__dict__:
-        plan.__dict__["_devntt_auto"] = DeviceNtt(plan)
-    return plan.__dict__["_devntt_auto"]
+    API's serving-batch routing; one handle per laziness (the lazy handle
+    keeps the documented lazy output bound through the tiled program)."""
+    key = "_devntt_auto_lazy" if lazy else "_devntt_auto"
+    if key not in plan.__dict__:
+        plan.__dict__[key] = DeviceNtt(plan, lazy=lazy)
+    return plan.__dict__[key]
+
+
+def _auto_tile_rows(plan: NttPlan, a: np.ndarray) -> int | None:
+    """Serving-batch routing for the host API: the total row count when the
+    measured tiling policy applies to `a` (any stack of leading batch dims
+    counts -- a (2, 1024, N) input is 2048 serving rows), else None."""
+    if a.ndim < 2:
+        return None
+    rows = int(np.prod(a.shape[:-1]))
+    return rows if _auto_batch_tile(plan, rows) else None
 
 
 def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
@@ -1243,10 +1294,12 @@ def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
     (or the variant's documented lazy input bound).  Returns uint64.
 
     variant="auto" is batch-aware: past the measured u64 serving-batch
-    cliff (batch > 512, artifacts/BATCH_LAB_r04.log) the strict six-step
-    runs as unrolled 128-row tiles via the plan's DeviceNtt handle
-    (bit-exact with the direct program; b1024 measured 8.5-8.8 us/t
-    direct vs 5.6-5.8 tiled)."""
+    cliff (batch > 512, artifacts/BATCH_LAB_r04.log) the six-step runs as
+    unrolled 128-row tiles via the plan's DeviceNtt handle (bit-exact with
+    the direct program; b1024 measured 8.5-8.8 us/t direct vs 5.6-5.8
+    tiled).  Any stack of leading dims counts toward the batch -- a
+    (2, 1024, N) input is 2048 serving rows -- and lazy callers route
+    through a lazy-configured handle (same tiling, lazy output bound)."""
     plan = _resolve(params_or_plan)
     name = _auto_variant(plan) if variant == "auto" else variant
     v = get_variant(name)
@@ -1256,10 +1309,12 @@ def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
         )
     a = np.asarray(a, dtype=np.uint64)
     assert a.shape[-1] == plan.n, f"last dim {a.shape[-1]} != N {plan.n}"
-    if (variant == "auto" and name == "sixstep" and not lazy
-            and a.ndim == 2 and _auto_batch_tile(plan, a.shape[0])):
-        ctx = _plan_device_handle(plan)
-        return ctx.to_host(ctx.fwd(ctx.from_host(a)))
+    if variant == "auto" and name == "sixstep":
+        rows = _auto_tile_rows(plan, a)
+        if rows:
+            ctx = _plan_device_handle(plan, lazy)
+            out = ctx.to_host(ctx.fwd(ctx.from_host(a.reshape(rows, plan.n))))
+            return out.reshape(a.shape)
     return v.fwd(plan, a, lazy)
 
 
@@ -1381,8 +1436,10 @@ def inv_ntt(a, params_or_plan, variant: str = "auto"):
         )
     a = np.asarray(a, dtype=np.uint64)
     assert a.shape[-1] == plan.n
-    if (variant == "auto" and name == "sixstep" and a.ndim == 2
-            and _auto_batch_tile(plan, a.shape[0])):
-        ctx = _plan_device_handle(plan)
-        return ctx.to_host(ctx.inv(ctx.from_host(a)))
+    if variant == "auto" and name == "sixstep":
+        rows = _auto_tile_rows(plan, a)
+        if rows:
+            ctx = _plan_device_handle(plan)
+            out = ctx.to_host(ctx.inv(ctx.from_host(a.reshape(rows, plan.n))))
+            return out.reshape(a.shape)
     return v.inv(plan, a)

@@ -288,6 +288,8 @@ def _r4_vec_w5(tab, tab_con, kind: str, idx0: int, m: int):
 
 from ntt_tpu.twiddles import LANE_PERM as _VEC_LANE_PERM  # noqa: E402
 
+_VEC_LANE_UNPERM = np.argsort(_VEC_LANE_PERM)  # slot_of: position of group g
+
 
 def fwd_vec_lazy_u64(a: mm.U64Pair, tab: mm.U64Pair, tab_con: mm.U64Pair,
                      q: int, unordered: bool = False):
@@ -349,7 +351,8 @@ def fwd_vec_u64(a, tab, tab_con, q: int, unordered: bool = False):
 
 
 def inv_vec_u64(a: mm.U64Pair, tab: mm.U64Pair, tab_con: mm.U64Pair,
-                n_inv_op: int, n_inv_con: int, q: int):
+                n_inv_op: int, n_inv_con: int, q: int,
+                unordered: bool = False):
     """Inverse radix-4 consuming the 5N vec table's regions in REVERSE
     emission order -- the layout-native inverse the reference never shipped
     (its IFMA variants are forward-only; blueprint: the scalar inverse
@@ -360,7 +363,19 @@ def inv_vec_u64(a: mm.U64Pair, tab: mm.U64Pair, tab_con: mm.U64Pair,
     stage, then FWD4, then the FWD8 runs walked backwards; for odd log2 N
     the forward's LEADING radix-2 stage is undone by a TRAILING
     Gentleman-Sande sweep with twiddle tab[1].  Accepts inputs < 8q (a
-    lazy forward output); strict output with the trailing n_inv scale."""
+    lazy forward output); strict output with the trailing n_inv scale.
+
+    With ``unordered``, the input is in the fwd_vec unordered layout
+    (layouts.radix4_vec_unordered: per 8-group block, position j holds
+    group LANE_PERM[j]) and ``tab`` must be the unordered expand of the
+    inverse root (plan.dev_r4_vec_inv_unord_u64, FWD1 region
+    lane-permuted identically): the first stage butterflies the groups
+    where they sit -- position j's twiddle lane IS group LANE_PERM[j]'s
+    quintuple -- then one block-local un-permute restores standard order
+    for the remaining stages.  The chain fwd(unordered) -> pointwise ->
+    this inverse never materializes standard order (the unordered
+    contract's payoff; the reference fixes order externally instead,
+    fix_a_order, tests/test_correctness.c:179-209)."""
     alo, ahi = a
     n = alo.shape[-1]
     lead = alo.shape[:-1]
@@ -380,6 +395,14 @@ def inv_vec_u64(a: mm.U64Pair, tab: mm.U64Pair, tab_con: mm.U64Pair,
         )
         alo = _join4([o[0] for o in outs], lead, n)
         ahi = _join4([o[1] for o in outs], lead, n)
+        if kind == "fwd1" and unordered:
+            # un-permute the block-local group order: standard group g's
+            # outputs sit at block position slot_of[g] (argsort LANE_PERM)
+            def unpermute(arr):
+                v = arr.reshape(lead + (m // 8, 8, 4))
+                return v[..., _VEC_LANE_UNPERM, :].reshape(lead + (n,))
+
+            alo, ahi = unpermute(alo), unpermute(ahi)
     if not even:
         # trailing radix-2: undo the forward's leading (i, i + n/2) stage
         h = n >> 1

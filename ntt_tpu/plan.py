@@ -219,6 +219,24 @@ class NttPlan:
         return mm.from_u64(self.w_r4_vec_inv), mm.from_u64(self.w_r4_vec_inv_con)
 
     @functools.cached_property
+    def w_r4_vec_inv_unord(self) -> np.ndarray:
+        """Unordered 5N vec layout of the INVERSE root (FWD1 region
+        lane-permuted): consumed by radix4.inv_vec_u64(unordered=True),
+        the layout-native inverse of the unordered forward."""
+        return tw.expand_w_r4(self.w_inv, self.q, True)
+
+    @functools.cached_property
+    def w_r4_vec_inv_unord_con(self) -> np.ndarray:
+        return tw.calc_w_con(self.w_r4_vec_inv_unord, self.q, 64)
+
+    @functools.cached_property
+    def dev_r4_vec_inv_unord_u64(self):
+        return (
+            mm.from_u64(self.w_r4_vec_inv_unord),
+            mm.from_u64(self.w_r4_vec_inv_unord_con),
+        )
+
+    @functools.cached_property
     def dev_hexl_u64(self):
         """(table, table_con) of the 13N/8 HEXL layout as u32 limb pairs."""
         return mm.from_u64(self.w_hexl), mm.from_u64(self.w_hexl_con)

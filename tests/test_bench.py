@@ -45,6 +45,10 @@ def test_bench_emits_single_json_line():
     # metric name is self-describing: N, q width, and batch
     assert "N2^8" in j["metric"] and "q27bit" in j["metric"]
     assert "batch4" in j["metric"]
+    # the min-of-2 refinement annotates its spread unless the budget cut
+    # the second reading; either way the field is well-formed when present
+    if "degraded" not in j:
+        assert j.get("band_pct") is not None and j["band_pct"] >= 0, j
 
 
 def test_bench_also_batch_row():

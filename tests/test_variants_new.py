@@ -164,6 +164,50 @@ def test_radix4_vec_unordered_layout(rng):
     np.testing.assert_array_equal(fixed, want)
 
 
+def test_radix4_vec_unordered_inverse(rng):
+    """(r4 verdict #5) the layout-consuming inverse: accepts the
+    lane-permuted radix4_vec_unordered order directly (unordered
+    inverse-root table + one block-local un-permute), so the registry hole
+    (inv=None) is closed without an external fix_a_order pass."""
+    p = FIXTURES_ALL[13]  # m=14, q 51-bit
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q)
+    raw = api.fwd_ntt(a, p, variant="radix4-vec-unordered")
+    # round-trip: strict and lazy forwards
+    np.testing.assert_array_equal(
+        api.inv_ntt(raw, p, variant="radix4-vec-unordered"), a)
+    rawl = api.fwd_ntt(a, p, variant="radix4-vec-unordered", lazy=True)
+    np.testing.assert_array_equal(
+        api.inv_ntt(rawl, p, variant="radix4-vec-unordered"), a)
+    # parity: the ORACLE forward, unfixed into the documented layout, is a
+    # valid input (the inverse consumes the layout, not this kernel's quirks)
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    lay = api.output_layout("radix4-vec-unordered", p)
+    np.testing.assert_array_equal(
+        api.inv_ntt(lay.unfix(want), p, variant="radix4-vec-unordered"), a)
+    # fwd -> pointwise -> inv never materializes standard order
+    b = make_input(rng, p.n, p.q)
+    fb = api.fwd_ntt(b, p, variant="radix4-vec-unordered")
+    got = api.inv_ntt(api.pointwise_mul(raw, fb, p), p,
+                      variant="radix4-vec-unordered")
+    np.testing.assert_array_equal(got, api.negacyclic_mul(a, b, p))
+
+
+def test_pallas_backend_pin():
+    """(r4 verdict #7) the Pallas interpret switch is an explicit
+    allowlist, not a raw string compare: tpu -> native Mosaic, cpu ->
+    silent interpreter (the test mesh), anything unrecognized ->
+    interpreter WITH a warning."""
+    import warnings
+
+    assert api._pallas_interpret("tpu") is False
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # cpu fallback must stay silent
+        assert api._pallas_interpret("cpu") is True
+    with pytest.warns(RuntimeWarning, match="unrecognized backend"):
+        assert api._pallas_interpret("some_plugin") is True
+
+
 def test_seal_lazy_matches_harvey(rng):
     """SEAL's forward guard/mul_root chain is value-identical to the lazy
     Harvey chain (same ops, SEAL's loop schedule)."""
