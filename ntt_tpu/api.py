@@ -477,6 +477,141 @@ register(
 )
 
 
+# -- two-level recursive six-step (the huge-N single-chip path) ---------------
+# N = N1*N2 with each level a full negacyclic NTT of the global prefix
+# root (docs/DESIGN.md item 2 extended: twiddles.twist_tables_rec), so no
+# materialized phase shape leaves the measured fast regime -- the TPU form
+# of HEXL's depth-first recursion (fwd-ntt-avx512.c:310-328).
+
+
+def _rec_level_plans(plan: NttPlan, l1_log: int):
+    """Per-level sub-plans: size-N1 with root w^N2, size-N2 with root
+    w^N1 (both primitive 2Ni-th roots; tables equal the global prefix)."""
+    p = plan.params
+    n1, n2 = 1 << l1_log, 1 << (p.m - l1_log)
+    p1 = NttParams.make(p.q, l1_log, w=pow(p.w, n2, p.q))
+    p2 = NttParams.make(p.q, p.m - l1_log, w=pow(p.w, n1, p.q))
+    return get_plan(p1), get_plan(p2)
+
+
+def _rec_twist_reps(plan: NttPlan, l1_log: int, inverse: bool, ops):
+    """Factored twist table reps (A, Ac, B, Bc), cached on the plan."""
+    from ntt_tpu import twiddles as tw
+
+    key = ("_rec_twist", l1_log, inverse, ops.nlimb)
+    if key not in plan.__dict__:
+        p = plan.params
+        psi = p.w_inv if inverse else p.w
+        a_tab, b_tab = tw.twist_tables_rec(psi, p.q, plan.n, l1_log)
+        word = 32 if ops.nlimb == 1 else 64
+        n1, hi = a_tab.shape
+        lo = b_tab.shape[1]
+        plan.__dict__[key] = (
+            ops.table(a_tab.reshape(n1, hi, 1)),
+            ops.table(tw.calc_w_con(a_tab, p.q, word).reshape(n1, hi, 1)),
+            ops.table(b_tab.reshape(n1, 1, lo)),
+            ops.table(tw.calc_w_con(b_tab, p.q, word).reshape(n1, 1, lo)),
+        )
+    return plan.__dict__[key]
+
+
+def _rec_word_tabs(lvl_plan: NttPlan, u32: bool, inverse: bool):
+    if u32:
+        w, wc, wi, wic = lvl_plan.dev_r2_u32
+        return ((wi,), (wic,)) if inverse else ((w,), (wc,))
+    w, wc, wi, wic = lvl_plan.dev_r2_u64
+    return (wi, wic) if inverse else (w, wc)
+
+
+def _rec_ninv(lvl_plan: NttPlan, word: int):
+    ninv_con = lvl_plan.n_inv_con32 if word == 32 else lvl_plan.n_inv_con
+    f_tmp, f_con = radix2._final_mulop(
+        lvl_plan.params.n_inv, ninv_con, int(lvl_plan.w_inv[1]),
+        lvl_plan.q, word,
+    )
+    return (lvl_plan.params.n_inv, ninv_con, f_tmp, f_con)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_fwd_rec(q: int, lazy: bool, l1_log: int, nlimb: int):
+    ops = U32Ops if nlimb == 1 else U64Ops
+
+    def core(*flat):
+        parts = [flat[i * nlimb:(i + 1) * nlimb] for i in range(9)]
+        a, w1, w1c, w2, w2c = parts[:5]
+        return sixstep.fwd_rec(
+            a, ops, w1, w1c, w2, w2c, tuple(parts[5:]), q, l1_log,
+            strict=not lazy,
+        )
+
+    return jax.jit(core)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_inv_rec(q: int, ninv1: tuple, ninv2: tuple, l1_log: int, nlimb: int):
+    ops = U32Ops if nlimb == 1 else U64Ops
+
+    def core(*flat):
+        parts = [flat[i * nlimb:(i + 1) * nlimb] for i in range(9)]
+        a, wi1, wi1c, wi2, wi2c = parts[:5]
+        return sixstep.inv_rec(
+            a, ops, wi1, wi1c, wi2, wi2c, tuple(parts[5:]), ninv1, ninv2,
+            q, l1_log,
+        )
+
+    return jax.jit(core)
+
+
+def _sixstep_rec_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
+    l1 = sixstep.rec_split(plan.params.m)
+    pl1, pl2 = _rec_level_plans(plan, l1)
+    u32 = plan.supports_u32_radix2
+    ops = U32Ops if u32 else U64Ops
+    w1, w1c = _rec_word_tabs(pl1, u32, False)
+    w2, w2c = _rec_word_tabs(pl2, u32, False)
+    tw = _rec_twist_reps(plan, l1, False, ops)
+    fn = _jit_fwd_rec(plan.q, lazy, l1, ops.nlimb)
+    return ops.to_host(
+        fn(*ops.from_host(a), *w1, *w1c, *w2, *w2c,
+           *tw[0], *tw[1], *tw[2], *tw[3])
+    )
+
+
+def _sixstep_rec_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
+    l1 = sixstep.rec_split(plan.params.m)
+    pl1, pl2 = _rec_level_plans(plan, l1)
+    u32 = plan.supports_u32_radix2
+    ops = U32Ops if u32 else U64Ops
+    word = 32 if u32 else 64
+    wi1, wi1c = _rec_word_tabs(pl1, u32, True)
+    wi2, wi2c = _rec_word_tabs(pl2, u32, True)
+    tw = _rec_twist_reps(plan, l1, True, ops)
+    fn = _jit_inv_rec(
+        plan.q, _rec_ninv(pl1, word), _rec_ninv(pl2, word), l1, ops.nlimb
+    )
+    return ops.to_host(
+        fn(*ops.from_host(a), *wi1, *wi1c, *wi2, *wi2c,
+           *tw[0], *tw[1], *tw[2], *tw[3])
+    )
+
+
+register(
+    Variant(
+        "sixstep-rec",
+        fwd=_sixstep_rec_fwd,
+        inv=_sixstep_rec_inv,
+        description="two-level recursive six-step: balanced N1*N2 outer "
+        "split where BOTH levels are full size-Ni negacyclic NTTs of the "
+        "global prefix roots (docs/DESIGN.md item 2), glued by a factored "
+        "gamma_c^{n2} twist (twiddles.twist_tables_rec) -- no materialized "
+        "working set leaves the measured fast regime; the TPU form of "
+        "HEXL's depth-first recursion (fwd-ntt-avx512.c:310-328), built "
+        "for the huge-N (>= 2^23) sizes where the flat six-step hits the "
+        "XLA pathology (kernels/sixstep.default_split)",
+    )
+)
+
+
 def output_layout(variant: str, params_or_plan):
     """Layout descriptor for a variant's forward output (layouts.standard
     unless the variant documents otherwise)."""

@@ -57,6 +57,12 @@ class U32Ops:
         return (mm.reduce32(x[0], q, 4),)
 
     @staticmethod
+    def shoup_mul(w, wc, x, q):
+        """Constant (w, preconditioned wc) times variable x < 4q; out < 2q.
+        The twist-multiply primitive of the two-level six-step."""
+        return (mm.shoup_mul32_q2(w[0], wc[0], x[0], q),)
+
+    @staticmethod
     def mul_mod(x, y, q):
         """Variable x variable (x*y) mod q, strict (for pointwise NTT-domain
         products)."""
@@ -115,6 +121,11 @@ class U64Ops:
     @staticmethod
     def reduce_4q_to_q(x, q):
         return mm.reduce_4q_to_q(x, q)
+
+    @staticmethod
+    def shoup_mul(w, wc, x, q):
+        """Constant (w, preconditioned wc) times variable x < 4q; out < 2q."""
+        return mm.shoup_mul_q2(w, wc, x, q)
 
     @staticmethod
     def mul_mod(x, y, q):

@@ -385,6 +385,82 @@ def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
     return tmap(lambda l: l.reshape(lead + (n,)), a)
 
 
+# ---------------------------------------------------------------------------
+# two-level (recursive) six-step -- the huge-N single-chip path
+# ---------------------------------------------------------------------------
+#
+# N = N1*N2 with BOTH level transforms full negacyclic NTTs of the global
+# table's prefix roots (w[1:Ni] is the size-Ni table, docs/DESIGN.md item
+# 2), glued by the factored twist of twiddles.twist_tables_rec: every
+# materialized working set stays in the measured fast regime (N <= 2^12
+# per level transform at N = 2^24) instead of the flat six-step's
+# pathological (2^8, 2^16) phase shapes.  This is the TPU form of HEXL's
+# depth-first recursion (third_party/hexl/fwd-ntt-avx512.c:310-328).
+
+
+def rec_split(logn: int) -> int:
+    """Outer split for the two-level path: balanced, so each level
+    transform is a size-2^(logn/2) six-step in its measured regime."""
+    return logn // 2
+
+
+def _twist_mul(a, ops, tw, q: int, n1: int, lead):
+    """Elementwise multiply by the factored twist: a is (..., N1, N2) and
+    tw = (A, Ac, B, Bc) reps shaped (N1, HI, 1) / (N1, 1, LO).  Inputs
+    < 4q, output < 2q (two chained Shoup constant-multiplies)."""
+    tw_a, tw_ac, tw_b, tw_bc = tw
+    hi = tw_a[0].shape[-2]
+    lo = tw_b[0].shape[-1]
+    v = tmap(lambda l: l.reshape(lead + (n1, hi, lo)), a)
+    v = ops.shoup_mul(tw_a, tw_ac, v, q)
+    v = ops.shoup_mul(tw_b, tw_bc, v, q)
+    return tmap(lambda l: l.reshape(lead + (n1, hi * lo)), v)
+
+
+def fwd_rec(a_rep, ops, w1, w1c, w2, w2c, tw, q: int, l1_log: int,
+            strict: bool = True, group: int | None = None):
+    """Forward NTT via the two-level six-step.  w1/w1c: size-N1 tables
+    (root psi^N2 = the global prefix), w2/w2c: size-N2 tables (root
+    psi^N1), tw: factored forward twist reps.  Bit-exact with the flat
+    kernel (strict) -- the level transforms run lazy (< 4q) and the twist
+    keeps < 2q, so no extra reductions are spent between levels."""
+    n = a_rep[0].shape[-1]
+    n1 = 1 << l1_log
+    n2 = n >> l1_log
+    lead = a_rep[0].shape[:-1]
+    # columns: size-N1 NTTs along the N1 axis, vectorized over N2 lanes
+    a = tmap(
+        lambda l: jnp.swapaxes(l.reshape(lead + (n1, n2)), -1, -2), a_rep
+    )
+    a = fwd_sixstep(a, ops, w1, w1c, q, strict=False, group=group)
+    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1, N2) [k1, n2]
+    a = _twist_mul(a, ops, tw, q, n1, lead)
+    # rows: plain size-N2 NTTs of the twisted rows
+    a = fwd_sixstep(a, ops, w2, w2c, q, strict=strict, group=group)
+    return tmap(lambda l: l.reshape(lead + (n,)), a)
+
+
+def inv_rec(a_rep, ops, wi1, wi1c, wi2, wi2c, tw_inv,
+            ninv1: tuple, ninv2: tuple, q: int, l1_log: int,
+            group: int | None = None):
+    """Inverse of fwd_rec (strict output).  ninv1/ninv2 are the per-level
+    (n_inv_op, n_inv_con, final_tmp, final_con) fused-final constants --
+    the two levels' 1/N1 and 1/N2 scalings compose to the full 1/N.  The
+    un-twist tables tw_inv come from the INVERSE root (gamma_c^{-n2})."""
+    n = a_rep[0].shape[-1]
+    n1 = 1 << l1_log
+    n2 = n >> l1_log
+    lead = a_rep[0].shape[:-1]
+    a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)  # [k1, k2]
+    a = inv_sixstep(a, ops, wi2, wi2c, *ninv2, q, group=group)  # [k1, n2]
+    a = _twist_mul(a, ops, tw_inv, q, n1, lead)
+    a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N2, N1)
+    a = inv_sixstep(a, ops, wi1, wi1c, *ninv1, q, group=group)  # [n2, n1]
+    return tmap(
+        lambda l: jnp.swapaxes(l, -1, -2).reshape(lead + (n,)), a
+    )
+
+
 def fix_transposed_order(a, n1_log: int):
     """Undo the keep_transposed layout: the analog of fix_a_order
     (tests/test_correctness.c:179-209) for this framework's documented

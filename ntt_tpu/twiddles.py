@@ -206,6 +206,53 @@ def expand_w_r4(w_tab: np.ndarray, q: int, unordered: bool = False) -> np.ndarra
     return out
 
 
+def twist_tables_rec(psi: int, q: int, n: int, l1_log: int):
+    """Factored twist tables for the two-level (recursive) six-step.
+
+    Derivation (extends docs/DESIGN.md section 2): with N = N1*N2 and the
+    coefficient vector viewed (N1, N2), the flat kernel's row stages for
+    N1-axis position c are a size-N2 negacyclic NTT (global table prefix
+    w[1:N2], root psi^N1) applied to the input TWISTED by
+    gamma_c^{n2}, where
+
+        gamma_c = psi^{2*rev(c) + 1 - N1}   (exponent mod 2N).
+
+    Proof sketch: the folded stage-s' twiddle w[2^s'*N1 + c*2^s' + g]
+    factors (by the bit-reversed index map) into the plain size-N2 stage
+    twiddle times gamma_c^{N2 / 2^{s'+1}}, and pulling an input twist
+    gamma^{n2} through a DIT network multiplies stage-s' twiddles by
+    exactly gamma^{N2/2^{s'+1}}.  Verified bit-exactly against the flat
+    kernel in tests (this is the TPU form of HEXL's depth-first recursion,
+    third_party/hexl/fwd-ntt-avx512.c:310-328: no materialized working set
+    exceeds the fast regime).
+
+    Returns (A, B) uint64 arrays of shapes (N1, HI) and (N1, LO) with
+    HI*LO = N2 and T[c, h*LO + l] = A[c, h] * B[c, l] mod q -- the
+    factored form keeps device tables O(N1*sqrt(N2)) instead of O(N)
+    (8 MB instead of 128 MB at N = 2^24).  Pass psi = w for the forward
+    twist, psi = w_inv for the inverse un-twist (gamma_c^{-n2})."""
+    logn = n.bit_length() - 1
+    n1 = 1 << l1_log
+    l2 = logn - l1_log
+    lo_log = (l2 + 1) // 2
+    lo, hi = 1 << lo_log, 1 << (l2 - lo_log)
+    two_n = 2 * n
+    a_tab = np.zeros((n1, hi), dtype=np.uint64)
+    b_tab = np.zeros((n1, lo), dtype=np.uint64)
+    for c in range(n1):
+        g = pow(psi, (2 * bit_rev_idx(c, l1_log) + 1 - n1) % two_n, q)
+        cur = 1
+        for j in range(lo):
+            b_tab[c, j] = cur
+            cur = cur * g % q
+        gh = pow(g, lo, q)
+        cur = 1
+        for j in range(hi):
+            a_tab[c, j] = cur
+            cur = cur * gh % q
+    return a_tab, b_tab
+
+
 def expand_w_r4r2(w_tab: np.ndarray, q: int) -> np.ndarray:
     """Mixed radix-4 heads + fused radix-2 tail table, 5N entries
     (pre_compute.h:253-324): radix-4 quintuples while t > N/16, then

@@ -164,6 +164,21 @@ def test_radix4_vec_unordered_layout(rng):
     np.testing.assert_array_equal(fixed, want)
 
 
+@pytest.mark.parametrize("p", FIXTURES_FAST, ids=fixture_id)
+def test_sixstep_rec_matches_radix2(rng, p):
+    """Two-level recursive six-step (r4 verdict #2): bit-exact with the
+    flat kernel at both widths (strict and lazy), and the per-level 1/Ni
+    scalings of the inverse compose to the full 1/N round trip."""
+    a = make_input(rng, p.n, p.q, batch=2)
+    want = api.fwd_ntt(a, p, variant="radix2")
+    got = api.fwd_ntt(a, p, variant="sixstep-rec")
+    np.testing.assert_array_equal(got, want)
+    lz = api.fwd_ntt(a, p, variant="sixstep-rec", lazy=True)
+    assert lz.max() < 4 * p.q
+    np.testing.assert_array_equal(lz % np.uint64(p.q), want)
+    np.testing.assert_array_equal(api.inv_ntt(got, p, variant="sixstep-rec"), a)
+
+
 def test_radix4_vec_unordered_inverse(rng):
     """(r4 verdict #5) the layout-consuming inverse: accepts the
     lane-permuted radix4_vec_unordered order directly (unordered
