@@ -204,6 +204,24 @@ def test_dist_large_n_2_22(rng):
     np.testing.assert_array_equal(f, want)
 
 
+@pytest.mark.full
+def test_dist_large_n_2_24(rng):
+    """N = 2^24 distributed, u32 path -- the literal end-point of
+    BASELINE.json configs[4] (2^20..2^24 sharded; r4 verdict #1a).
+    Full tier: ~4x the 2^22 test's CPU-mesh compile+run cost."""
+    p = NttParams.generate(29, 24)
+    plan = get_plan(p)
+    mesh = dist.default_mesh(8)
+    a = make_input(rng, p.n, p.q)
+    f = dist.dist_fwd_ntt(a, plan, mesh=mesh)
+    back = dist.dist_inv_ntt(f, plan, mesh=mesh)
+    np.testing.assert_array_equal(back, a)
+    from ntt_tpu import refmodel as rm
+
+    want = rm.fwd_ntt_harvey(a, p.q, plan.w, plan.w_con)
+    np.testing.assert_array_equal(f, want)
+
+
 def test_scaling_model_predict():
     """The analytic multi-chip efficiency model (tools/scaling_model.py)
     is pure arithmetic over measured per-phase rows; pin it with a
