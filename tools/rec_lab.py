@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--inv", action="store_true",
                     help="also measure the inverse rows")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="rows' batch (flat amortizes dispatch with batch; "
+                    "the dispatch decision needs the published envelope "
+                    "batches, not just b=1)")
     ap.add_argument("--out", default="artifacts/REC_LAB_r05.json")
     args = ap.parse_args()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_ntt_tpu")
@@ -72,7 +76,7 @@ def main():
             ops = U32Ops if u32 else U64Ops
             q = p.q
             x0 = ops.from_host(
-                rng.integers(0, q, size=(1, p.n), dtype=np.uint64))
+                rng.integers(0, q, size=(args.batch, p.n), dtype=np.uint64))
             if u32:
                 w, wc, _, _ = plan.dev_r2_u32
                 w, wc = (w,), (wc,)
@@ -142,10 +146,10 @@ def main():
         for label, body, x0, consts, n in rows:
             sec = _measure_loop(body, x0, reps=args.reps, k1=2, k2=4,
                                 consts=consts)
-            ut = sec * 1e6
+            ut = sec / args.batch * 1e6
             results["rows"][label].append(round(ut, 1))
             print(f"  {label:16s} {ut:12.1f} us/t  "
-                  f"({sec / n * 1e9:6.3f} ns/point)", flush=True)
+                  f"({ut / n * 1e3:6.3f} ns/point)", flush=True)
 
     print("\nsummary (min..max us/t):")
     summary = {}
