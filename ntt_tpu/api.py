@@ -1381,21 +1381,49 @@ _AUTO_TABLE: dict[str, dict[int, tuple]] = {
 }
 
 
-def _auto_variant(plan: NttPlan, inverse: bool = False) -> str:
-    """Measured-fastest path for this (direction, q-width, N): table-driven
-    from the calibrated v5e sweeps (_AUTO_TABLE; see README 'Performance').
-    The six-step kernel with the measured N2=64 split wins at both modulus
-    widths for the serving sizes (q62 N=2^14: 4.72 us/t vs 8.06 flat
-    radix-2, AUTO_SWEEP_r04.json); the small-N tail flips per direction:
-    at N=2^8 the flat kernels beat the split overhead on the FORWARD only
-    (q27 radix-4 0.0156 vs 0.0183 us/t, q62 radix-2 0.0849 vs 0.0915),
-    while the inverse six-step wins even there (q27 0.0159 vs radix-4
-    0.0175; q62 0.0712 vs radix-2 0.0914 -- its fused final stage
-    amortizes the split cost).  A table row whose variant cannot admit
-    the plan's q (radix-4's 8q lazy bound caps it below the limb path's
-    own bound) falls through to the next row."""
+# Large-N routing to the two-level recursive six-step, measured round 5
+# (artifacts/REC_LAB_*_r05.json, interleaved direct@128 controls).  The
+# driver is BATCH, not just size: the flat six-step gets its vector width
+# from the batch dim and collapses without it (m16 u32 b1: flat 98.7 vs
+# rec 18.4 us/t; b128: flat 4.7 vs rec 6.5), while rec's inner levels are
+# batch-independent (lanes come from the N2 axis).  Policy: rec always at
+# m >= 21 (rec won every measured batch there -- b1 7-15x, b8 1.3-1.8x --
+# and HBM caps real batches anyway); at m 16..20, rec only up to the
+# largest row count where it measured a win (u32 m18 b32 1.14x, m20 b8
+# 1.28x; u64 m18 b32 was a tie so its cap stays at the b8 win).  Unknown
+# batch at m <= 20 keeps the previously-measured flat winners.  m <= 15
+# serving sizes: flat keeps the headline (m14 b128 u64 5.4/4.9 fwd/inv
+# vs rec 7.1/6.3, REC_LAB_B128_r05).  Unmeasured interior cells (m17,
+# m19) interpolate conservatively between their measured neighbors.
+_AUTO_REC_MIN_M = 21
+_AUTO_REC_ROW_CAP: dict[int, dict[int, int]] = {
+    32: {16: 8, 17: 8, 18: 32, 19: 16, 20: 8},
+    64: {16: 8, 17: 8, 18: 8, 19: 8, 20: 8},
+}
+
+
+def _auto_variant(plan: NttPlan, inverse: bool = False,
+                  rows: int | None = None) -> str:
+    """Measured-fastest path for this (direction, q-width, N[, batch]):
+    table-driven from the calibrated v5e sweeps (_AUTO_TABLE; see README
+    'Performance').  The six-step kernel with the measured N2=64 split
+    wins at both modulus widths for the serving sizes (q62 N=2^14: 4.72
+    us/t vs 8.06 flat radix-2, AUTO_SWEEP_r04.json); the small-N tail
+    flips per direction: at N=2^8 the flat kernels beat the split
+    overhead on the FORWARD only (q27 radix-4 0.0156 vs 0.0183 us/t, q62
+    radix-2 0.0849 vs 0.0915), while the inverse six-step wins even there
+    (q27 0.0159 vs radix-4 0.0175; q62 0.0712 vs radix-2 0.0914 -- its
+    fused final stage amortizes the split cost).  Large N routes to the
+    two-level recursive six-step (_AUTO_REC_MIN_M above).  A table row
+    whose variant cannot admit the plan's q (radix-4's 8q lazy bound caps
+    it below the limb path's own bound) falls through to the next row."""
     width = 32 if plan.supports_u32_radix2 else 64
     m = plan.params.m
+    if m >= _AUTO_REC_MIN_M:
+        return "sixstep-rec"
+    cap = _AUTO_REC_ROW_CAP[width].get(m)
+    if cap is not None and rows is not None and rows <= cap:
+        return "sixstep-rec"
     qb = plan.q.bit_length()
     for max_m, name in _AUTO_TABLE["inv" if inverse else "fwd"][width]:
         if max_m is None or m <= max_m:
@@ -1436,14 +1464,16 @@ def fwd_ntt(a, params_or_plan, variant: str = "auto", lazy: bool = False):
     (2, 1024, N) input is 2048 serving rows -- and lazy callers route
     through a lazy-configured handle (same tiling, lazy output bound)."""
     plan = _resolve(params_or_plan)
-    name = _auto_variant(plan) if variant == "auto" else variant
+    a = np.asarray(a, dtype=np.uint64)
+    assert a.shape[-1] == plan.n, f"last dim {a.shape[-1]} != N {plan.n}"
+    batch_rows = int(np.prod(a.shape[:-1])) if a.ndim > 1 else 1
+    name = (_auto_variant(plan, rows=batch_rows) if variant == "auto"
+            else variant)
     v = get_variant(name)
     if plan.q.bit_length() > v.max_q_bits:
         raise ValueError(
             f"variant {name} supports q < 2^{v.max_q_bits}, got {plan.q.bit_length()}-bit q"
         )
-    a = np.asarray(a, dtype=np.uint64)
-    assert a.shape[-1] == plan.n, f"last dim {a.shape[-1]} != N {plan.n}"
     if variant == "auto" and name == "sixstep":
         rows = _auto_tile_rows(plan, a)
         if rows:
@@ -1516,6 +1546,10 @@ def negacyclic_mul(a, b, params_or_plan, variant: str = "auto",
     six-step kernel, so requesting any other variant composes the public
     per-step APIs through that variant instead."""
     plan = _resolve(params_or_plan)
+    if variant == "auto" and _auto_variant(plan) == "sixstep-rec":
+        # huge-N: the flat fused polymul would hit the XLA pathology the
+        # recursive path exists to avoid; compose per-step rec programs
+        variant = "sixstep-rec"
     if variant not in ("auto", "sixstep"):
         fused = False
     if not fused:
@@ -1561,7 +1595,11 @@ def fwd_ntt_dbl(a, b, params_or_plan, variant: str = "auto", lazy: bool = False)
 def inv_ntt(a, params_or_plan, variant: str = "auto"):
     """Inverse negacyclic NTT (strict output in [0, q))."""
     plan = _resolve(params_or_plan)
-    name = _auto_variant(plan, inverse=True) if variant == "auto" else variant
+    a = np.asarray(a, dtype=np.uint64)
+    assert a.shape[-1] == plan.n
+    batch_rows = int(np.prod(a.shape[:-1])) if a.ndim > 1 else 1
+    name = (_auto_variant(plan, inverse=True, rows=batch_rows)
+            if variant == "auto" else variant)
     v = get_variant(name)
     if v.inv is None:
         raise ValueError(f"variant {name} has no inverse kernel")
@@ -1569,8 +1607,6 @@ def inv_ntt(a, params_or_plan, variant: str = "auto"):
         raise ValueError(
             f"variant {name} supports q < 2^{v.max_q_bits}, got {plan.q.bit_length()}-bit q"
         )
-    a = np.asarray(a, dtype=np.uint64)
-    assert a.shape[-1] == plan.n
     if variant == "auto" and name == "sixstep":
         rows = _auto_tile_rows(plan, a)
         if rows:

@@ -129,8 +129,11 @@ class DeviceRnsTower(RnsTower):
     """
 
     def __init__(self, m: int, q_bits=(30, 30, 30), params=None,
-                 lazy: bool = False, batch_tile: int | None = None,
+                 lazy: bool = False, batch_tile: "int | str | None" = "auto",
                  pad_to_tile: bool = False):
+        """batch_tile defaults to "auto" (the measured serving-batch
+        policy, api._AUTO_BATCH_POLICY) -- HE towers are exactly the
+        batch-1024 workload the policy was measured for."""
         super().__init__(m, q_bits, params)
         self.ctxs = [
             api.DeviceNtt(p, lazy=lazy, batch_tile=batch_tile,

@@ -134,6 +134,37 @@ def test_auto_batch_routing_bitexact():
     )
 
 
+def test_auto_routes_large_n_to_rec():
+    """(r5) large N routes to the two-level recursive six-step -- the
+    measured winner at every batch/width for m >= 18 (REC_LAB_*_r05
+    artifacts) -- and mid sizes route by batch-starvation."""
+    from ntt_tpu.params import NttParams
+
+    p21 = NttParams.generate(29, 21)
+    plan21 = get_plan(p21)
+    assert api._auto_variant(plan21) == "sixstep-rec"
+    assert api._auto_variant(plan21, inverse=True) == "sixstep-rec"
+    assert api._auto_variant(plan21, rows=1024) == "sixstep-rec"
+    # m 16..20: rec only up to the measured-win row caps (batch is the
+    # driver -- the flat kernel gets its vector width from the batch dim)
+    p18 = NttParams.generate(29, 18)
+    plan18 = get_plan(p18)
+    assert api._auto_variant(plan18, rows=8) == "sixstep-rec"
+    assert api._auto_variant(plan18, rows=32) == "sixstep-rec"  # u32 cap
+    assert api._auto_variant(plan18, rows=128) != "sixstep-rec"
+    p16 = NttParams.generate(29, 16)
+    plan16 = get_plan(p16)
+    assert api._auto_variant(plan16, rows=2) == "sixstep-rec"
+    assert api._auto_variant(plan16, rows=64) != "sixstep-rec"
+    assert api._auto_variant(plan16) != "sixstep-rec"  # unknown batch
+    # execution: the routed path is bit-exact with the explicit variant
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, p16.q, size=(2, p16.n), dtype=np.uint64)
+    got = api.fwd_ntt(a, p16)  # auto, rows=2 -> rec
+    np.testing.assert_array_equal(got, api.fwd_ntt(a, p16, variant="sixstep"))
+    np.testing.assert_array_equal(api.inv_ntt(got, p16), a)
+
+
 def test_auto_batch_routing_stacked_and_lazy():
     """(r4 verdict #6) leading dims are flattened before the policy check:
     a (2, 320, N) stacked batch is 640 serving rows and engages the tiled

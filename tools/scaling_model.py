@@ -113,9 +113,29 @@ def measure(m: int, batch: int, devices: list[int],
         lambda x, w, wc: ss.fwd_sixstep(x, U64Ops, w, wc, q, n1_log=n1_log_1,
                                         strict=True),
         a, reps=5, k1=2, k2=10, consts=(w, wc))
-    rows["t1_us"] = round(sec / batch * 1e6, 3)
+    rows["t1_flat_us"] = round(sec / batch * 1e6, 3)
     print(f"  m={m} D=1 whole fwd_sixstep (n1_log={n1_log_1}): "
-          f"{rows['t1_us']} us/t", flush=True)
+          f"{rows['t1_flat_us']} us/t", flush=True)
+
+    # round 5: at the sizes where auto dispatches the two-level recursive
+    # six-step (REC_LAB_*_r05), the honest single-chip reference for the
+    # efficiency ratio is the rec program -- using the slower flat t1
+    # would inflate every efficiency cell.  t1 = min(flat, rec).
+    from ntt_tpu import api
+
+    l1 = ss.rec_split(m)
+    pl1, pl2 = api._rec_level_plans(plan, l1)
+    w1, w1c = api._rec_word_tabs(pl1, False, False)
+    w2, w2c = api._rec_word_tabs(pl2, False, False)
+    twr = api._rec_twist_reps(plan, l1, False, U64Ops)
+    sec_rec = _measure_loop(
+        lambda x, w1, w1c, w2, w2c, twr: ss.fwd_rec(
+            x, U64Ops, w1, w1c, w2, w2c, twr, q, l1, strict=True),
+        a, reps=5, k1=2, k2=10, consts=(w1, w1c, w2, w2c, twr))
+    rows["t1_rec_us"] = round(sec_rec / batch * 1e6, 3)
+    rows["t1_us"] = min(rows["t1_flat_us"], rows["t1_rec_us"])
+    print(f"  m={m} D=1 whole fwd_rec (l1={l1}): {rows['t1_rec_us']} us/t "
+          f"-> t1 = {rows['t1_us']}", flush=True)
 
     for d in devices:
         # the n1_log the dist entry would pick for this (n, D)
