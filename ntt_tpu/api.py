@@ -327,10 +327,11 @@ def _jit_fwd_sixstep(q: int, lazy: bool, n1_log, nlimb: int, keep_t: bool = Fals
         a = flat[:nlimb]
         w = flat[nlimb : 2 * nlimb]
         wc = flat[2 * nlimb : 3 * nlimb]
-        row_tabs = flat[3 * nlimb] if len(flat) > 3 * nlimb else None
+        tabs = flat[3 * nlimb] if len(flat) > 3 * nlimb else None
+        row_tabs, col_tabs = tabs if tabs is not None else (None, None)
         return sixstep.fwd_sixstep(
             a, ops, w, wc, q, n1_log, strict=not lazy, keep_transposed=keep_t,
-            group=group, row_tabs=row_tabs,
+            group=group, row_tabs=row_tabs, col_tabs=col_tabs,
         )
 
     return jax.jit(core)
@@ -345,10 +346,12 @@ def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int,
         a = flat[:nlimb]
         w = flat[nlimb : 2 * nlimb]
         wc = flat[2 * nlimb : 3 * nlimb]
-        row_tabs = flat[3 * nlimb] if len(flat) > 3 * nlimb else None
+        tabs = flat[3 * nlimb] if len(flat) > 3 * nlimb else None
+        row_tabs, col_tabs = tabs if tabs is not None else (None, None)
         return sixstep.inv_sixstep(
             a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1_log,
             input_transposed=input_t, group=group, row_tabs=row_tabs,
+            col_tabs=col_tabs,
         )
 
     return jax.jit(core)
@@ -357,17 +360,38 @@ def _jit_inv_sixstep(q, n_inv_op, n_inv_con, f_tmp, f_con, n1_log, nlimb: int,
 def _row_tabs(plan: NttPlan, nlimb: int, inverse: bool,
               n1_log: int | None = None):
     """Pre-broadcast row-twiddle stacks for the six-step jit cores (passed
-    as the trailing pytree arg).  NTT_ROW_TABS=1 opts in; the default is
-    the in-program derivation.  Measured-NEUTRAL on chip (round 4,
-    artifacts/ROWTAB_AB_r04.log): the TPU lowering is flop-identical both
-    ways (fwd 2.88e9 / inv 2.616e9) -- XLA already folds the in-program
-    reshape(n1, m2).T, so the stacks buy nothing and cost extra device
-    tables.  Kept as tested infrastructure (see test_variants_new)."""
-    if os.environ.get("NTT_ROW_TABS", "0") != "1":
+    as a trailing pytree arg).  Round-4 measured them NEUTRAL at m=14
+    (ROWTAB_AB_r04: small tables, XLA folds the in-program derivation
+    either way); round 5 found they are worth 3-4x at big N where the
+    O(N) table rides as a jit argument (PHASE_CONST_AB_r05: m20 D=1-shape
+    phase2 1022-1215 us args vs 299-302 tabs) -- so the stacks are now ON
+    by default.  NTT_ROW_TABS=0 restores the in-program derivation."""
+    if os.environ.get("NTT_ROW_TABS", "1") == "0":
         return None
     if n1_log is None:
         n1_log = sixstep.default_split(plan.n, nlimb=nlimb)
     return plan.dev_row_tabs(n1_log, nlimb, inverse)
+
+
+def _col_tabs(plan: NttPlan, nlimb: int, inverse: bool,
+              n1_log: int | None = None):
+    """Pre-sliced column-twiddle stacks (the phase-1/phase-B analog of
+    _row_tabs): worth 12.8x at big N with tables as jit arguments (m20
+    D=8 phase1: 458 us args vs 35.9 tabs vs 31.9 closure,
+    PHASE_CONST_AB_r05).  NTT_COL_TABS=0 disables."""
+    if os.environ.get("NTT_COL_TABS", "1") == "0":
+        return None
+    if n1_log is None:
+        n1_log = sixstep.default_split(plan.n, nlimb=nlimb)
+    return plan.dev_col_tabs(n1_log, nlimb, inverse)
+
+
+def _stage_tabs(plan: NttPlan, nlimb: int, inverse: bool,
+                n1_log: int | None = None):
+    """(row_tabs, col_tabs) bundle -- the single trailing pytree arg of
+    the six-step jit cores."""
+    return (_row_tabs(plan, nlimb, inverse, n1_log),
+            _col_tabs(plan, nlimb, inverse, n1_log))
 
 
 def _sixstep_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
@@ -379,7 +403,7 @@ def _sixstep_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
         ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
     a_rep = ops.from_host(a)
     out = _jit_fwd_sixstep(plan.q, lazy, None, ops.nlimb)(
-        *a_rep, *w_rep, *wc_rep, _row_tabs(plan, ops.nlimb, False)
+        *a_rep, *w_rep, *wc_rep, _stage_tabs(plan, ops.nlimb, False)
     )
     return ops.to_host(out)
 
@@ -401,7 +425,7 @@ def _sixstep_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
         plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, None, ops.nlimb
     )
     return ops.to_host(
-        fn(*a_rep, *w_rep, *wc_rep, _row_tabs(plan, ops.nlimb, True))
+        fn(*a_rep, *w_rep, *wc_rep, _stage_tabs(plan, ops.nlimb, True))
     )
 
 
@@ -432,7 +456,7 @@ def _sixstep_unordered_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarr
         ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
     a_rep = ops.from_host(a)
     out = _jit_fwd_sixstep(plan.q, lazy, n1_log, ops.nlimb, keep_t=True)(
-        *a_rep, *w_rep, *wc_rep, _row_tabs(plan, ops.nlimb, False, n1_log)
+        *a_rep, *w_rep, *wc_rep, _stage_tabs(plan, ops.nlimb, False, n1_log)
     )
     return ops.to_host(out)
 
@@ -460,7 +484,7 @@ def _sixstep_unordered_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
         input_t=True,
     )
     return ops.to_host(fn(*ops.from_host(a), *w_rep, *wc_rep,
-                          _row_tabs(plan, ops.nlimb, True, n1_log)))
+                          _stage_tabs(plan, ops.nlimb, True, n1_log)))
 
 
 register(
@@ -909,7 +933,7 @@ def _radix4x4_fwd(plan: NttPlan, a: np.ndarray, lazy: bool) -> np.ndarray:
         ops, w_rep, wc_rep = U64Ops, (wlo, whi), (clo, chi)
     a_rep = ops.from_host(a)
     out = _jit_fwd_sixstep(plan.q, lazy, None, ops.nlimb, group=4)(
-        *a_rep, *w_rep, *wc_rep, _row_tabs(plan, ops.nlimb, False)
+        *a_rep, *w_rep, *wc_rep, _stage_tabs(plan, ops.nlimb, False)
     )
     return ops.to_host(out)
 
@@ -931,7 +955,7 @@ def _radix4x4_inv(plan: NttPlan, a: np.ndarray) -> np.ndarray:
         group=4,
     )
     return ops.to_host(fn(*ops.from_host(a), *w_rep, *wc_rep,
-                          _row_tabs(plan, ops.nlimb, True)))
+                          _stage_tabs(plan, ops.nlimb, True)))
 
 
 register(
@@ -1184,8 +1208,8 @@ class DeviceNtt:
             self._wi, self._wic = (wi,), (wic,)
         else:
             self._w, self._wc, self._wi, self._wic = plan.dev_r2_u64
-        self._rt_f = _row_tabs(plan, self.ops.nlimb, False, self._n1_log)
-        self._rt_i = _row_tabs(plan, self.ops.nlimb, True, self._n1_log)
+        self._rt_f = _stage_tabs(plan, self.ops.nlimb, False, self._n1_log)
+        self._rt_i = _stage_tabs(plan, self.ops.nlimb, True, self._n1_log)
         self._fwd = _jit_fwd_sixstep(plan.q, lazy, self._n1_log, self.ops.nlimb)
         self._inv = _jit_inv_sixstep(
             plan.q, plan.params.n_inv, ninv_con, f_tmp, f_con, self._n1_log,

@@ -138,6 +138,39 @@ def _col_tw(w_rep, m: int):
     return tmap(lambda l: l[m : 2 * m].reshape(m, 1, 1), w_rep)
 
 
+def col_tw_stacks(w_u64, n1: int, to_rep):
+    """Host-side per-stage column twiddle stacks: stage s -> rep of shape
+    (2^s, 1, 1) = w[2^s : 2^{s+1}] (exactly _col_tw's view).
+
+    Motivation (round-5 finding, artifacts/PHASE_CONST_AB_r05.json): with
+    the O(N) twiddle table passed as a jit ARGUMENT -- the production
+    calling convention; closures break the remote-compile size cap at
+    N >= 2^23 -- the phase programs run up to 14-24x slower than with the
+    table closed over (m20 D=8 p1: 458 vs 31.9 us), because XLA can no
+    longer fold the per-stage slice/reshape of the big runtime operand
+    into the butterfly fusion.  Pre-slicing host-side hands every stage a
+    SMALL dedicated operand instead, which (like row_tw_stacks for the
+    row phase: 299 vs 1022-1215 us) restores closure-grade codegen while
+    keeping tables out of the serialized module."""
+    import numpy as np
+
+    logn1 = n1.bit_length() - 1
+    return tuple(
+        to_rep(np.ascontiguousarray(
+            w_u64[1 << s : 2 << s]).reshape(1 << s, 1, 1))
+        for s in range(logn1)
+    )
+
+
+def _ctab_tw_at(tabs, s: int, L: int, c_high: int, m: int):
+    """Level-L column twiddles from a pre-broadcast stack: tabs[s+L] is
+    the stage-(m*2^L) stack of shape (m*2^L, 1, 1); take the c_high
+    slice (groups h = g_idx * 2^L + c_high)."""
+    return tmap(
+        lambda l: l.reshape(m, 1 << L, 1, 1)[:, c_high], tabs[s + L]
+    )
+
+
 def row_tw_stacks(w_u64, n1: int, n2: int, to_rep):
     """Host-side pre-transposed per-stage row twiddle tables: stage s ->
     rep of shape (2^s, 1, n1) holding the (n1, 2^s)-viewed, transposed
@@ -221,23 +254,33 @@ def _tab_tw_at(tabs, s: int, L: int, c_high: int, m: int, ncols: int):
 
 
 def fwd_phase1(a, ops, w, wc, q: int, n1_size: int, lanes: int,
-               group: int = 1):
+               group: int = 1, col_tabs=None):
     """Forward column stages on (..., N1, L) -- all stages with m < N1.
     group > 1 fuses that many stages per interleave (see
-    _stage_group_axis1)."""
+    _stage_group_axis1).  col_tabs: optional (tw_tabs, twc_tabs)
+    pre-sliced per-stage stacks (col_tw_stacks) replacing the in-program
+    slice of the O(N) table -- the production fix for the
+    tables-as-arguments codegen cliff (see col_tw_stacks)."""
     logn1 = n1_size.bit_length() - 1
     s = 0
     while s < logn1:
         g = min(group, logn1 - s)
         m, tg = 1 << s, n1_size >> (s + g)
         if g == 1:
-            wo, wco = _col_tw(w, m), _col_tw(wc, m)
+            if col_tabs is not None:
+                wo, wco = col_tabs[0][s], col_tabs[1][s]
+            else:
+                wo, wco = _col_tw(w, m), _col_tw(wc, m)
             a = _stage_axis1(a, m, tg, lanes,
                              lambda x, y: ops.fwd_bfly(x, y, wo, wco, q))
         else:
-            def bfly_at(L, c_high, x, y, m=m):
-                wo = _col_tw_at(w, m, L, c_high)
-                wco = _col_tw_at(wc, m, L, c_high)
+            def bfly_at(L, c_high, x, y, m=m, s=s):
+                if col_tabs is not None:
+                    wo = _ctab_tw_at(col_tabs[0], s, L, c_high, m)
+                    wco = _ctab_tw_at(col_tabs[1], s, L, c_high, m)
+                else:
+                    wo = _col_tw_at(w, m, L, c_high)
+                    wco = _col_tw_at(wc, m, L, c_high)
                 return ops.fwd_bfly(x, y, wo, wco, q)
 
             a = _stage_group_axis1(a, g, m, tg, lanes, bfly_at)
@@ -325,9 +368,11 @@ def inv_phaseA(a, ops, w, wc, q: int, n1_size: int, n2_size: int,
 
 
 def inv_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, final_tmp, final_con,
-               q: int, n1_size: int, lanes: int, group: int = 1):
+               q: int, n1_size: int, lanes: int, group: int = 1,
+               col_tabs=None):
     """Inverse column stages (global m = N1/2 .. 2) plus the fused final
-    n_inv stage, on (..., N1, L)."""
+    n_inv stage, on (..., N1, L).  col_tabs: optional pre-sliced stacks
+    over the INVERSE table (see fwd_phase1)."""
     logn1 = n1_size.bit_length() - 1
     s_top = logn1
     while s_top > 1:
@@ -335,13 +380,20 @@ def inv_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, final_tmp, final_con,
         s = s_top - g
         m, tg = 1 << s, n1_size >> (s + g)
         if g == 1:
-            wo, wco = _col_tw(w, m), _col_tw(wc, m)
+            if col_tabs is not None:
+                wo, wco = col_tabs[0][s], col_tabs[1][s]
+            else:
+                wo, wco = _col_tw(w, m), _col_tw(wc, m)
             a = _stage_axis1(a, m, tg, lanes,
                              lambda x, y: ops.bkw_bfly(x, y, wo, wco, q))
         else:
-            def bfly_at(L, c_high, x, y, m=m):
-                wo = _col_tw_at(w, m, L, c_high)
-                wco = _col_tw_at(wc, m, L, c_high)
+            def bfly_at(L, c_high, x, y, m=m, s=s):
+                if col_tabs is not None:
+                    wo = _ctab_tw_at(col_tabs[0], s, L, c_high, m)
+                    wco = _ctab_tw_at(col_tabs[1], s, L, c_high, m)
+                else:
+                    wo = _col_tw_at(w, m, L, c_high)
+                    wco = _col_tw_at(wc, m, L, c_high)
                 return ops.bkw_bfly(x, y, wo, wco, q)
 
             a = _stage_group_axis1(a, g, m, tg, lanes, bfly_at, reverse=True)
@@ -359,13 +411,15 @@ def inv_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, final_tmp, final_con,
 
 def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
                 strict: bool = True, keep_transposed: bool = False,
-                group: int | None = None, row_tabs=None):
+                group: int | None = None, row_tabs=None, col_tabs=None):
     """Forward NTT via six-step.  a_rep: rep of shape (..., N).  Returns rep
     of shape (..., N) in standard bit-reversed output order, or -- with
     keep_transposed -- in the (N2, N1)-flattened layout (the analog of the
     reference's unordered-output contract,
     src/ntt_radix4_avx512_ifma_unordered.c; undo with
-    fix_transposed_order)."""
+    fix_transposed_order).  row_tabs/col_tabs: pre-broadcast per-stage
+    twiddle stacks (row_tw_stacks/col_tw_stacks) -- at big N with tables
+    passed as jit arguments they are worth 14-24x (PHASE_CONST_AB_r05)."""
     n = a_rep[0].shape[-1]
     logn = n.bit_length() - 1
     if n1_log is None:
@@ -376,7 +430,8 @@ def fwd_sixstep(a_rep, ops, w_rep, w_con_rep, q: int, n1_log: int | None = None,
     lead = a_rep[0].shape[:-1]
 
     a = tmap(lambda l: l.reshape(lead + (n1, n2)), a_rep)
-    a = fwd_phase1(a, ops, w_rep, w_con_rep, q, n1, n2, group=group)
+    a = fwd_phase1(a, ops, w_rep, w_con_rep, q, n1, n2, group=group,
+                   col_tabs=col_tabs)
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     a = fwd_phase2(a, ops, w_rep, w_con_rep, q, n1, n2, 0, n1, group=group,
                    strict=strict, row_tabs=row_tabs)
@@ -475,7 +530,7 @@ def fix_transposed_order(a, n1_log: int):
 def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
                 final_tmp: int, final_con: int, q: int,
                 n1_log: int | None = None, input_transposed: bool = False,
-                group: int | None = None, row_tabs=None):
+                group: int | None = None, row_tabs=None, col_tabs=None):
     """Inverse NTT via six-step (strict output).  final_tmp/final_con are
     the host-precomputed fused constants for the last stage (see
     kernels/radix2._final_mulop).  With input_transposed, the input is in
@@ -501,6 +556,6 @@ def inv_sixstep(a_rep, ops, w_rep, w_con_rep, n_inv_op: int, n_inv_con: int,
     a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
     a = inv_phaseB(
         a, ops, w_rep, w_con_rep, n_inv_op, n_inv_con, final_tmp, final_con,
-        q, n1, n2, group=group,
+        q, n1, n2, group=group, col_tabs=col_tabs,
     )
     return tmap(lambda l: l.reshape(lead + (n,)), a)

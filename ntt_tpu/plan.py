@@ -304,6 +304,37 @@ class NttPlan:
             )
         return cache[key]
 
+    def dev_col_tabs(self, n1_log: int, nlimb: int, inverse: bool):
+        """(tw_tabs, twc_tabs) pre-sliced per-stage COLUMN twiddle stacks
+        (kernels/sixstep.col_tw_stacks): each a tuple over column stages s
+        of reps shaped (2^s, 1, 1).  With the O(N) table passed as a jit
+        argument, the in-program stage slices cost 14x at big N
+        (artifacts/PHASE_CONST_AB_r05.json); these small dedicated
+        operands restore closure-grade codegen."""
+        key = (n1_log, nlimb, inverse)
+        cache = self.__dict__.setdefault("_col_tab_cache", {})
+        if key not in cache:
+            import jax.numpy as jnp
+
+            from ntt_tpu.kernels import sixstep as ss
+
+            n1 = 1 << n1_log
+            if inverse:
+                w = self.w_inv
+                wc = self.w_inv_con if nlimb == 2 else self.w_inv_con32
+            else:
+                w = self.w
+                wc = self.w_con if nlimb == 2 else self.w_con32
+            if nlimb == 2:
+                to_rep = mm.from_u64
+            else:
+                to_rep = lambda t: (jnp.asarray(t.astype(np.uint32)),)
+            cache[key] = (
+                ss.col_tw_stacks(w, n1, to_rep),
+                ss.col_tw_stacks(wc, n1, to_rep),
+            )
+        return cache[key]
+
     # -- Pallas fused-kernel twiddle stacks --------------------------------
     def pallas_tables(self, inverse: bool, n1_log: int, nlimb: int):
         """Stacked pre-broadcast per-stage twiddle tables for the Pallas
