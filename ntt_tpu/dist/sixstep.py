@@ -24,6 +24,7 @@ degenerate mode shard='batch': each device runs whole transforms locally.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -136,8 +137,31 @@ def _tables(plan: NttPlan, inverse: bool, mesh: Mesh | None = None):
     return U64Ops, (wlo, whi), (clo, chi)
 
 
+def _dist_tabs(plan: NttPlan, n1_log: int, nlimb: int, inverse: bool,
+               mesh: Mesh):
+    """(row_tabs, col_tabs) pre-broadcast stage stacks for the dist
+    kernels -- the round-5 fix for the tables-as-arguments codegen cliff
+    (artifacts/PHASE_CONST_AB_r05.json: per-device phases 14-24x faster
+    with pre-sliced stacks; the row stacks additionally shard their
+    column axis over the mesh so each device holds exactly its slice).
+    Multi-process runtimes fall back to in-program derivation (correct,
+    slower) -- building process-global sharded stacks is future work."""
+    if (jax.process_count() > 1 or
+            os.environ.get("NTT_ROW_TABS", "1") == "0"):
+        return None, None
+    return (plan.dev_row_tabs(n1_log, nlimb, inverse),
+            plan.dev_col_tabs(n1_log, nlimb, inverse))
+
+
+# in_specs prefix for the (row_tabs, col_tabs) bundle: row stacks shard
+# their trailing column axis over the transform axis; col stacks replicate
+def _tabs_spec(axis: str):
+    return (P(None, None, axis), P(None))
+
+
 def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
-                        axis: str, n_chunks: int, strict: bool):
+                        axis: str, n_chunks: int, strict: bool,
+                        row_tabs=None):
     """Phase-1 output (..., N1, N2/D) -> all_to_all transpose + row stages
     -> transposed local layout (..., N2, N1/D).
 
@@ -157,7 +181,7 @@ def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
 
     group = sixstep.default_group(ops.nlimb)
 
-    def transpose_and_rows(chunk, col0, ncols):
+    def transpose_and_rows(chunk, col0, ncols, tabs):
         chunk = tmap(
             lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
                                      concat_axis=l.ndim - 1, tiled=True),
@@ -165,11 +189,11 @@ def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
         )
         chunk = tmap(lambda l: jnp.swapaxes(l, -1, -2), chunk)
         return sixstep.fwd_phase2(chunk, ops, w, wc, q, n1, n2, col0, ncols,
-                                  group=group, strict=strict)
+                                  group=group, strict=strict, row_tabs=tabs)
 
     my_col0 = lax.axis_index(axis) * (n1 // ndev)
     if n_chunks == 1:
-        return transpose_and_rows(a, my_col0, n1 // ndev)
+        return transpose_and_rows(a, my_col0, n1 // ndev, row_tabs)
     cpc = n1 // (ndev * n_chunks)  # columns per chunk
 
     def cut(l, c):
@@ -178,9 +202,19 @@ def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
         v = v[..., :, c * cpc : (c + 1) * cpc, :]
         return v.reshape(lead + (ndev * cpc, l.shape[-1]))
 
+    def cut_tabs(c):
+        # chunk c consumes local tab columns [c*cpc, (c+1)*cpc)
+        if row_tabs is None:
+            return None
+        return tuple(
+            tuple(tuple(l[:, :, c * cpc:(c + 1) * cpc] for l in rep)
+                  for rep in stacks)
+            for stacks in row_tabs
+        )
+
     outs = [
         transpose_and_rows(tmap(lambda l, c=c: cut(l, c), a),
-                           my_col0 + c * cpc, cpc)
+                           my_col0 + c * cpc, cpc, cut_tabs(c))
         for c in range(n_chunks)
     ]
     return tmap(lambda *ls: jnp.concatenate(ls, axis=-1), *outs)
@@ -188,7 +222,7 @@ def _fwd_transpose_rows(a, ops, w, wc, q: int, n1: int, n2: int, ndev: int,
 
 def _inv_collect_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con,
                         q: int, n1: int, n2: int, ndev: int, axis: str,
-                        n_chunks: int):
+                        n_chunks: int, col_tabs=None):
     """Post-phaseA data (..., N1/D, N2) -> inverse all_to_all -> column
     stages + fused n_inv final -> natural shard (..., N1, N2/D).
 
@@ -208,7 +242,7 @@ def _inv_collect_phaseB(a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con,
         )
         return sixstep.inv_phaseB(
             chunk, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1,
-            chunk[0].shape[-1], group=group,
+            chunk[0].shape[-1], group=group, col_tabs=col_tabs,
         )
 
     if n_chunks == 1:
@@ -245,16 +279,19 @@ def _jit_dist_fwd(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
     def local_fn(*flat):
         a = flat[:nlimb]  # local (..., N1, N2/D)
         w = flat[nlimb : 2 * nlimb]
-        wc = flat[2 * nlimb :]
+        wc = flat[2 * nlimb : 3 * nlimb]
+        row_tabs, col_tabs = flat[3 * nlimb]
         a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev,
-                               group=sixstep.default_group(ops.nlimb))
+                               group=sixstep.default_group(ops.nlimb),
+                               col_tabs=col_tabs)
         a = _fwd_transpose_rows(a, ops, w, wc, q, n1, n2, ndev, axis,
-                                n_chunks, strict)
+                                n_chunks, strict, row_tabs=row_tabs)
         return tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
 
     a_spec = P(batch_axis, None, axis)  # (batch[, dp-sharded], N1, N2-sharded)
     out_spec = P(batch_axis, axis, None)
-    in_specs = tuple([a_spec] * nlimb + [P(None)] * (2 * nlimb))
+    in_specs = tuple([a_spec] * nlimb + [P(None)] * (2 * nlimb)
+                     + [_tabs_spec(axis)])
     fn = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs,
         out_specs=tuple([out_spec] * nlimb), check_vma=False,
@@ -280,20 +317,23 @@ def _jit_dist_inv(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
     def local_fn(*flat):
         a = flat[:nlimb]  # local (..., N1/D, N2), natural layout sharded on N1
         w = flat[nlimb : 2 * nlimb]
-        wc = flat[2 * nlimb :]
+        wc = flat[2 * nlimb : 3 * nlimb]
+        row_tabs, col_tabs = flat[3 * nlimb]
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N2, N1/D)
         col0 = lax.axis_index(axis) * (n1 // ndev)
         a = sixstep.inv_phaseA(a, ops, w, wc, q, n1, n2, col0, n1 // ndev,
-                               group=sixstep.default_group(ops.nlimb))
+                               group=sixstep.default_group(ops.nlimb),
+                               row_tabs=row_tabs)
         a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)  # (..., N1/D, N2)
         return _inv_collect_phaseB(
             a, ops, w, wc, n_inv_op, n_inv_con, f_tmp, f_con, q, n1, n2,
-            ndev, axis, n_chunks,
+            ndev, axis, n_chunks, col_tabs=col_tabs,
         )
 
     a_spec = P(batch_axis, axis, None)
     out_spec = P(batch_axis, None, axis)
-    in_specs = tuple([a_spec] * nlimb + [P(None)] * (2 * nlimb))
+    in_specs = tuple([a_spec] * nlimb + [P(None)] * (2 * nlimb)
+                     + [_tabs_spec(axis)])
     fn = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs,
         out_specs=tuple([out_spec] * nlimb), check_vma=False,
@@ -332,7 +372,8 @@ def dist_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     rep = _global_rep(_host_limbs(a3, ops), mesh, P(batch_axis, None, axis))
     fn = _jit_dist_fwd(plan.q, n, n1_log, ops.nlimb, ndev, axis, not lazy,
                        mesh, batch_axis, n_chunks)
-    out = fn(*rep, *w, *wc)
+    out = fn(*rep, *w, *wc,
+             _dist_tabs(plan, n1_log, ops.nlimb, False, mesh))
     return _collect(out, ops).reshape(a.shape)
 
 
@@ -370,7 +411,8 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
         plan.q, n, n1_log, ops.nlimb, ndev, axis,
         plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis, n_chunks,
     )
-    out = fn(*rep, *w, *wc)
+    out = fn(*rep, *w, *wc,
+             _dist_tabs(plan, n1_log, ops.nlimb, True, mesh))
     return _collect(out, ops).reshape(a.shape)
 
 
@@ -389,14 +431,15 @@ def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         f"N1={n1}, N2={n2} must divide by mesh*chunks = {ndev * n_chunks}"
     )
 
-    def fwd_local(a, w, wc):
+    def fwd_local(a, w, wc, tabs):
         """Forward phases, output LEFT in the transposed (..., N2, N1/D)
         layout -- pointwise products don't care about coefficient order
         (the unordered contract, at the distributed level)."""
         a = sixstep.fwd_phase1(a, ops, w, wc, q, n1, n2 // ndev,
-                               group=sixstep.default_group(ops.nlimb))
+                               group=sixstep.default_group(ops.nlimb),
+                               col_tabs=tabs[1])
         return _fwd_transpose_rows(a, ops, w, wc, q, n1, n2, ndev, axis,
-                                   n_chunks, strict=True)
+                                   n_chunks, strict=True, row_tabs=tabs[0])
 
     def local_fn(*flat):
         a = flat[:nlimb]
@@ -404,22 +447,26 @@ def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
         w = flat[2 * nlimb : 3 * nlimb]
         wc = flat[3 * nlimb : 4 * nlimb]
         wi = flat[4 * nlimb : 5 * nlimb]
-        wic = flat[5 * nlimb :]
-        fc = ops.mul_mod(fwd_local(a, w, wc), fwd_local(b, w, wc), q)
+        wic = flat[5 * nlimb : 6 * nlimb]
+        tabs_f, tabs_i = flat[6 * nlimb]
+        fc = ops.mul_mod(fwd_local(a, w, wc, tabs_f),
+                         fwd_local(b, w, wc, tabs_f), q)
         # inverse starts exactly where the forward left off: phaseA consumes
         # the transposed layout directly (no transpose, no collective here)
         col0 = lax.axis_index(axis) * (n1 // ndev)
         fc = sixstep.inv_phaseA(fc, ops, wi, wic, q, n1, n2, col0,
                                 n1 // ndev,
-                                group=sixstep.default_group(ops.nlimb))
+                                group=sixstep.default_group(ops.nlimb),
+                                row_tabs=tabs_i[0])
         fc = tmap(lambda l: jnp.swapaxes(l, -1, -2), fc)
         return _inv_collect_phaseB(
             fc, ops, wi, wic, n_inv_op, n_inv_con, f_tmp, f_con, q, n1, n2,
-            ndev, axis, n_chunks,
+            ndev, axis, n_chunks, col_tabs=tabs_i[1],
         )
 
     io_spec = P(batch_axis, None, axis)  # natural (batch, N1, N2-sharded)
-    in_specs = tuple([io_spec] * (2 * nlimb) + [P(None)] * (4 * nlimb))
+    in_specs = tuple([io_spec] * (2 * nlimb) + [P(None)] * (4 * nlimb)
+                     + [(_tabs_spec(axis), _tabs_spec(axis))])
     fn = jax.shard_map(
         local_fn, mesh=mesh, in_specs=in_specs,
         out_specs=tuple([io_spec] * nlimb), check_vma=False,
@@ -468,7 +515,9 @@ def dist_negacyclic_mul(a: np.ndarray, b: np.ndarray, plan: NttPlan,
         plan.q, n, n1_log, ops.nlimb, ndev, axis,
         plan.params.n_inv, ninv_con, f_tmp, f_con, mesh, batch_axis, n_chunks,
     )
-    out = fn(*rep_a, *rep_b, *w, *wc, *wi, *wic)
+    out = fn(*rep_a, *rep_b, *w, *wc, *wi, *wic,
+             (_dist_tabs(plan, n1_log, ops.nlimb, False, mesh),
+              _dist_tabs(plan, n1_log, ops.nlimb, True, mesh)))
     return _collect(out, ops).reshape(a.shape)
 
 
@@ -486,17 +535,27 @@ def batch_parallel_fwd(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     nlimb = ops.nlimb
     q, n = plan.q, plan.n
 
+    n1_log = sixstep.default_split(n, nlimb=nlimb)
+
     def local_fn(*flat):
         ar = flat[:nlimb]
         w_ = flat[nlimb : 2 * nlimb]
-        wc_ = flat[2 * nlimb :]
-        return sixstep.fwd_sixstep(ar, ops, w_, wc_, q, None, strict=not lazy)
+        wc_ = flat[2 * nlimb : 3 * nlimb]
+        row_tabs, col_tabs = flat[3 * nlimb]
+        return sixstep.fwd_sixstep(ar, ops, w_, wc_, q, n1_log,
+                                   strict=not lazy, row_tabs=row_tabs,
+                                   col_tabs=col_tabs)
 
-    in_specs = tuple([P(axis)] * nlimb + [P(None)] * (2 * nlimb))
+    # batch mode runs WHOLE local transforms: tabs replicate (full width)
+    in_specs = tuple([P(axis)] * nlimb + [P(None)] * (2 * nlimb)
+                     + [(P(None), P(None))])
     fn = jax.jit(
         jax.shard_map(
             local_fn, mesh=mesh, in_specs=in_specs,
             out_specs=tuple([P(axis)] * nlimb), check_vma=False,
         )
     )
-    return ops.to_host(fn(*rep, *w, *wc))
+    tabs = ((None, None) if jax.process_count() > 1
+            else (plan.dev_row_tabs(n1_log, nlimb, False),
+                  plan.dev_col_tabs(n1_log, nlimb, False)))
+    return ops.to_host(fn(*rep, *w, *wc, tabs))

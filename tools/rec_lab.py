@@ -88,6 +88,35 @@ def main():
 
             rows.append((f"m{m}_{width}_flat", flat, x0, (w, wc), p.n))
 
+            # production config since r5: pre-broadcast stage tabs
+            # (PHASE_CONST_AB_r05 -- the args-vs-closure fix)
+            nl = ss.default_split(p.n, nlimb=ops.nlimb)
+            tabs = (plan.dev_row_tabs(nl, ops.nlimb, False),
+                    plan.dev_col_tabs(nl, ops.nlimb, False))
+
+            def flat_tabs(x, w, wc, tabs, ops=ops, q=q, nl=nl):
+                return ss.fwd_sixstep(x, ops, w, wc, q, n1_log=nl,
+                                      strict=True, row_tabs=tabs[0],
+                                      col_tabs=tabs[1])
+
+            rows.append((f"m{m}_{width}_flattabs", flat_tabs, x0,
+                         (w, wc, tabs), p.n))
+
+            if m >= 23:
+                # the n1<=2^8 cap was calibrated for the args-tables
+                # regime; probe the balanced split under tabs
+                nlb = m // 2
+                tabs_b = (plan.dev_row_tabs(nlb, ops.nlimb, False),
+                          plan.dev_col_tabs(nlb, ops.nlimb, False))
+
+                def flat_tabs_bal(x, w, wc, tabs, ops=ops, q=q, nlb=nlb):
+                    return ss.fwd_sixstep(x, ops, w, wc, q, n1_log=nlb,
+                                          strict=True, row_tabs=tabs[0],
+                                          col_tabs=tabs[1])
+
+                rows.append((f"m{m}_{width}_flattabs_bal", flat_tabs_bal,
+                             x0, (w, wc, tabs_b), p.n))
+
             l1 = ss.rec_split(m)
             pl1, pl2 = api._rec_level_plans(plan, l1)
             w1, w1c = api._rec_word_tabs(pl1, u32, False)
@@ -120,6 +149,19 @@ def main():
 
                 rows.append((f"m{m}_{width}_flat_inv", flat_inv, x0,
                              (wi, wic), p.n))
+
+                itabs = (plan.dev_row_tabs(nl, ops.nlimb, True),
+                         plan.dev_col_tabs(nl, ops.nlimb, True))
+
+                def flat_inv_tabs(x, wi, wic, itabs, ops=ops, q=q,
+                                  ni=p.n_inv, nc=ninv_con, ft=f_tmp,
+                                  fc=f_con, nl=nl):
+                    return ss.inv_sixstep(x, ops, wi, wic, ni, nc, ft, fc,
+                                          q, n1_log=nl, row_tabs=itabs[0],
+                                          col_tabs=itabs[1])
+
+                rows.append((f"m{m}_{width}_flatitabs", flat_inv_tabs, x0,
+                             (wi, wic, itabs), p.n))
 
                 wi1, wi1c = api._rec_word_tabs(pl1, u32, True)
                 wi2, wi2c = api._rec_word_tabs(pl2, u32, True)
