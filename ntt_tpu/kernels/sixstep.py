@@ -51,13 +51,16 @@ def default_split(n: int, min_lanes: int = 128, nlimb: int = 1) -> int:
       for N2=64, and neutral-to-better at batch 128 (29.9-31.4 vs
       30.0-32.0).  The u32 single-limb path keeps N2=64 (measured faster
       there, round 2).  Callers that know their limb width pass nlimb.
-    * N >= 2^23: the balanced split collapses (N=2^24: 37.8 ms/t balanced
-      vs 10.75 with n1=256 -- 64MB transposes / per-stage row-twiddle
-      reshapes hit an XLA pathology); cap n1 at 2^8.
+    * N >= 2^23 HISTORY: rounds 2-4 capped n1 at 2^8 (balanced read 37.8
+      ms/t at 2^24 vs 10.75 capped -- the "XLA pathology").  Round 5
+      identified that pathology as the tables-as-jit-arguments codegen
+      cliff (PHASE_CONST_AB_r05) and fixed it with pre-broadcast stage
+      tabs; under tabs the balance flips back (m24 u32: balanced 4.4-5.1
+      ms/t vs capped 7.0-8.5; u64: 19.8-20.9 vs 23.2-23.7,
+      REC_LAB_TABS_r05), so the cap is REMOVED.  (The even faster path
+      at these sizes is the recursive six-step, which `auto` picks.)
     * otherwise: balanced, biased so N2 >= min_lanes."""
     logn = n.bit_length() - 1
-    if logn >= 23:
-        return min(logn // 2, 8)
     if logn == 16 and nlimb == 2:
         return 8  # N2 = 256
     if 12 <= logn <= 17:

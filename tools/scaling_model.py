@@ -109,12 +109,15 @@ def measure(m: int, batch: int, devices: list[int],
     n1_log_1 = (n1_log_override if n1_log_override is not None
                 else ss.default_split(n))
     a = U64Ops.from_host(rng.integers(0, q, size=(batch, n), dtype=np.uint64))
+    tabs1 = (plan.dev_row_tabs(n1_log_1, 2, False),
+             plan.dev_col_tabs(n1_log_1, 2, False))
     sec = _measure_loop(
-        lambda x, w, wc: ss.fwd_sixstep(x, U64Ops, w, wc, q, n1_log=n1_log_1,
-                                        strict=True),
-        a, reps=5, k1=2, k2=10, consts=(w, wc))
+        lambda x, w, wc, tabs: ss.fwd_sixstep(
+            x, U64Ops, w, wc, q, n1_log=n1_log_1, strict=True,
+            row_tabs=tabs[0], col_tabs=tabs[1]),
+        a, reps=5, k1=2, k2=10, consts=(w, wc, tabs1))
     rows["t1_flat_us"] = round(sec / batch * 1e6, 3)
-    print(f"  m={m} D=1 whole fwd_sixstep (n1_log={n1_log_1}): "
+    print(f"  m={m} D=1 whole fwd_sixstep+tabs (n1_log={n1_log_1}): "
           f"{rows['t1_flat_us']} us/t", flush=True)
 
     # round 5: at the sizes where auto dispatches the two-level recursive
@@ -145,28 +148,36 @@ def measure(m: int, batch: int, devices: list[int],
 
         a1 = U64Ops.from_host(
             rng.integers(0, q, size=(batch, n1, n2 // d), dtype=np.uint64))
+        # per-device stage tabs: exactly what _dist_tabs hands shard_map
+        # (row stacks column-sliced to this device; col stacks replicated)
+        rt, ct = (plan.dev_row_tabs(n1_log, 2, False),
+                  plan.dev_col_tabs(n1_log, 2, False))
+        rt_dev = tuple(
+            tuple(tuple(l[:, :, : n1 // d] for l in rep) for rep in stacks)
+            for stacks in rt
+        )
 
-        def p1_body(x, w, wc, n1=n1, n2=n2, dd=d):
+        def p1_body(x, w, wc, ct, n1=n1, n2=n2, dd=d):
             return ss.fwd_phase1(x, U64Ops, w, wc, q, n1, n2 // dd,
-                                 group=group)
+                                 group=group, col_tabs=ct)
 
         sec1 = _measure_loop(p1_body, a1, reps=5, k1=2, k2=10,
-                             consts=(w, wc))
+                             consts=(w, wc, ct))
 
         a2 = U64Ops.from_host(
             rng.integers(0, q, size=(batch, n1 // d, n2), dtype=np.uint64))
 
-        def p2_body(x, w, wc, n1=n1, n2=n2, dd=d):
+        def p2_body(x, w, wc, rt, n1=n1, n2=n2, dd=d):
             # post-collective relayout + row stages + output relayout,
-            # exactly dist/sixstep.py:251-253 with col0=0 (the twiddle
-            # slice offset changes values, not cost)
+            # exactly dist/sixstep.py with col0=0 (the twiddle slice
+            # offset changes values, not cost)
             x = tmap(lambda l: jnp.swapaxes(l, -1, -2), x)
             x = ss.fwd_phase2(x, U64Ops, w, wc, q, n1, n2, 0, n1 // dd,
-                              group=group, strict=True)
+                              group=group, strict=True, row_tabs=rt)
             return tmap(lambda l: jnp.swapaxes(l, -1, -2), x)
 
         sec2 = _measure_loop(p2_body, a2, reps=5, k1=2, k2=10,
-                             consts=(w, wc))
+                             consts=(w, wc, rt_dev))
         rows["phases"][str(d)] = {
             "n1_log": n1_log,
             "p1_us": round(sec1 / batch * 1e6, 3),
