@@ -1406,23 +1406,25 @@ _AUTO_TABLE: dict[str, dict[int, tuple]] = {
 
 
 # Large-N routing to the two-level recursive six-step, measured round 5
-# (artifacts/REC_LAB_*_r05.json, interleaved direct@128 controls).  The
-# driver is BATCH, not just size: the flat six-step gets its vector width
-# from the batch dim and collapses without it (m16 u32 b1: flat 98.7 vs
-# rec 18.4 us/t; b128: flat 4.7 vs rec 6.5), while rec's inner levels are
-# batch-independent (lanes come from the N2 axis).  Policy: rec always at
-# m >= 21 (rec won every measured batch there -- b1 7-15x, b8 1.3-1.8x --
-# and HBM caps real batches anyway); at m 16..20, rec only up to the
-# largest row count where it measured a win (u32 m18 b32 1.14x, m20 b8
-# 1.28x; u64 m18 b32 was a tie so its cap stays at the b8 win).  Unknown
-# batch at m <= 20 keeps the previously-measured flat winners.  m <= 15
-# serving sizes: flat keeps the headline (m14 b128 u64 5.4/4.9 fwd/inv
-# vs rec 7.1/6.3, REC_LAB_B128_r05).  Unmeasured interior cells (m17,
-# m19) interpolate conservatively between their measured neighbors.
-_AUTO_REC_MIN_M = 21
+# against the production TABS-enabled flat kernel (REC_LAB_TABS*_r05,
+# interleaved direct@128 controls).  The driver is BATCH: the flat
+# six-step gets its vector width from the batch dim, rec's inner levels
+# are batch-independent (lanes come from the N2 axis).  Measured cells:
+#   b=1: rec wins m18 both widths (1.12x), m20 u32 (1.8x: 112 vs 201),
+#        m22 u32 (1.7x: 427-499 vs 785-840), m24 both (u32 4.73 vs 4.42-
+#        5.07 balanced-flat; u64 18.6-18.8 vs 19.8-20.9); m20/m22 u64 tie.
+#   b=8: tabs-flat wins every cell EXCEPT m16 u32 (rec 7.1 vs 8.3).
+#   b=128: flat keeps the m14/m16 serving headline (5.4/4.9 vs 7.1/6.3).
+# Policy: m >= _AUTO_REC_MIN_M always routes rec (fastest-or-tied at b1
+# at both widths; batches there mean >=0.5 GB inputs and are unmeasured
+# -- stated assumption).  m 16..22 routes rec only up to the per-width
+# row caps below: caps 8 are measured b8 wins, caps 2 mark b1-only wins
+# (flat retakes by b8), caps 4 interpolate where b1 wins were >=1.7x.
+# Unknown batch (rows=None) keeps the flat winners.
+_AUTO_REC_MIN_M = 23
 _AUTO_REC_ROW_CAP: dict[int, dict[int, int]] = {
-    32: {16: 8, 17: 8, 18: 32, 19: 16, 20: 8},
-    64: {16: 8, 17: 8, 18: 8, 19: 8, 20: 8},
+    32: {16: 8, 17: 8, 18: 2, 19: 4, 20: 4, 21: 4, 22: 4},
+    64: {18: 2, 19: 2, 20: 2, 21: 2, 22: 2},
 }
 
 
@@ -1570,9 +1572,12 @@ def negacyclic_mul(a, b, params_or_plan, variant: str = "auto",
     six-step kernel, so requesting any other variant composes the public
     per-step APIs through that variant instead."""
     plan = _resolve(params_or_plan)
-    if variant == "auto" and _auto_variant(plan) == "sixstep-rec":
-        # huge-N: the flat fused polymul would hit the XLA pathology the
-        # recursive path exists to avoid; compose per-step rec programs
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    rows = int(np.prod(a.shape[:-1])) if a.ndim > 1 else 1
+    if variant == "auto" and _auto_variant(plan, rows=rows) == "sixstep-rec":
+        # huge-N / batch-starved: route the whole product through the
+        # recursive programs instead of the flat fused polymul
         variant = "sixstep-rec"
     if variant not in ("auto", "sixstep"):
         fused = False

@@ -140,21 +140,22 @@ def test_auto_routes_large_n_to_rec():
     artifacts) -- and mid sizes route by batch-starvation."""
     from ntt_tpu.params import NttParams
 
-    p21 = NttParams.generate(29, 21)
-    plan21 = get_plan(p21)
-    assert api._auto_variant(plan21) == "sixstep-rec"
-    assert api._auto_variant(plan21, inverse=True) == "sixstep-rec"
-    assert api._auto_variant(plan21, rows=1024) == "sixstep-rec"
-    # m 16..20: rec only up to the measured-win row caps (batch is the
-    # driver -- the flat kernel gets its vector width from the batch dim)
+    p23 = NttParams.generate(29, 23)
+    plan23 = get_plan(p23)
+    assert api._auto_variant(plan23) == "sixstep-rec"
+    assert api._auto_variant(plan23, inverse=True) == "sixstep-rec"
+    assert api._auto_variant(plan23, rows=1024) == "sixstep-rec"
+    # m 16..22: rec only up to the measured-win row caps (batch is the
+    # driver -- the flat kernel gets its vector width from the batch dim;
+    # the tabs-enabled flat retakes every b8 cell except m16 u32)
     p18 = NttParams.generate(29, 18)
     plan18 = get_plan(p18)
-    assert api._auto_variant(plan18, rows=8) == "sixstep-rec"
-    assert api._auto_variant(plan18, rows=32) == "sixstep-rec"  # u32 cap
-    assert api._auto_variant(plan18, rows=128) != "sixstep-rec"
+    assert api._auto_variant(plan18, rows=1) == "sixstep-rec"   # b1 win
+    assert api._auto_variant(plan18, rows=8) != "sixstep-rec"   # b8 flat
     p16 = NttParams.generate(29, 16)
     plan16 = get_plan(p16)
     assert api._auto_variant(plan16, rows=2) == "sixstep-rec"
+    assert api._auto_variant(plan16, rows=8) == "sixstep-rec"   # b8 win
     assert api._auto_variant(plan16, rows=64) != "sixstep-rec"
     assert api._auto_variant(plan16) != "sixstep-rec"  # unknown batch
     # execution: the routed path is bit-exact with the explicit variant
