@@ -416,6 +416,203 @@ def dist_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
     return _collect(out, ops).reshape(a.shape)
 
 
+# ---------------------------------------------------------------------------
+# recursive-structured distributed transform (round 5)
+# ---------------------------------------------------------------------------
+#
+# The flat dist phases above shard the flat kernel's column/row stages;
+# at huge N the best SINGLE-chip program is the two-level recursive
+# six-step (kernels/sixstep.fwd_rec), so the honest scaling baseline
+# moved and the flat-phase dist left ~15-20% on the table (docs/PERF.md
+# round 5).  This variant distributes the recursion's OUTER level: local
+# size-N1 level transforms, ONE all_to_all (the same collective and the
+# same bytes as the flat dist path), the factored gamma twist applied to
+# the local rows (twist tables row-sharded via in_specs), local size-N2
+# level transforms.  Bit-exact with the flat kernel; local work runs at
+# the measured fast-regime rates.
+
+
+def _rec_dist_args(plan: NttPlan, l1_log: int, inverse: bool, ops):
+    """Device args for the rec dist kernels: level word tables, twist
+    reps, per-level stage tabs, per-level n_inv constants."""
+    from ntt_tpu import api
+
+    pl1, pl2 = api._rec_level_plans(plan, l1_log)
+    u32 = ops.nlimb == 1
+    w1, w1c = api._rec_word_tabs(pl1, u32, inverse)
+    w2, w2c = api._rec_word_tabs(pl2, u32, inverse)
+    tw = api._rec_twist_reps(plan, l1_log, inverse, ops)
+    word = 32 if u32 else 64
+
+    def lvl_tabs(pl):
+        nl = sixstep.default_split(pl.n, nlimb=ops.nlimb)
+        if os.environ.get("NTT_ROW_TABS", "1") == "0":
+            return (None, None)
+        return (pl.dev_row_tabs(nl, ops.nlimb, inverse),
+                pl.dev_col_tabs(nl, ops.nlimb, inverse))
+
+    ninv = ((api._rec_ninv(pl1, word), api._rec_ninv(pl2, word))
+            if inverse else None)
+    return w1, w1c, w2, w2c, tw, (lvl_tabs(pl1), lvl_tabs(pl2)), ninv
+
+
+def _twist_local(a, ops, tw, q: int, n2: int):
+    """Factored twist on the local (..., nloc, N2) rows; tw reps are the
+    axis-0 row-shards of the (N1, HI, 1)/(N1, 1, LO) tables."""
+    tw_a, tw_ac, tw_b, tw_bc = tw
+    hi = tw_a[0].shape[-2]
+    lo = tw_b[0].shape[-1]
+    lead = a[0].shape[:-2]
+    nloc = a[0].shape[-2]
+    v = tmap(lambda l: l.reshape(lead + (nloc, hi, lo)), a)
+    v = ops.shoup_mul(tw_a, tw_ac, v, q)
+    v = ops.shoup_mul(tw_b, tw_bc, v, q)
+    return tmap(lambda l: l.reshape(lead + (nloc, n2)), v)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_dist_rec_fwd(q: int, n: int, l1_log: int, nlimb: int, ndev: int,
+                      axis: str, strict: bool, mesh: Mesh,
+                      batch_axis: str | None = None):
+    ops = U32Ops if nlimb == 1 else U64Ops
+    logn = n.bit_length() - 1
+    n1, n2 = 1 << l1_log, 1 << (logn - l1_log)
+    assert n1 % ndev == 0 and n2 % ndev == 0, (n1, n2, ndev)
+
+    def local_fn(*flat):
+        a = flat[:nlimb]  # local (..., N1, N2/D)
+        w1 = flat[nlimb : 2 * nlimb]
+        w1c = flat[2 * nlimb : 3 * nlimb]
+        w2 = flat[3 * nlimb : 4 * nlimb]
+        w2c = flat[4 * nlimb : 5 * nlimb]
+        tw = flat[5 * nlimb]
+        tabs1, tabs2 = flat[5 * nlimb + 1]
+        # level 1: size-N1 transforms along the N1 axis, lanes = N2/D
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+        a = sixstep.fwd_sixstep(a, ops, w1, w1c, q, strict=False,
+                                row_tabs=tabs1[0], col_tabs=tabs1[1])
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+        # the ONE collective: transpose to (..., N1/D, N2)
+        a = tmap(
+            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 2,
+                                     concat_axis=l.ndim - 1, tiled=True),
+            a,
+        )
+        # twist the local rows (global k1 = idx*N1/D + r; tw row-sharded)
+        a = _twist_local(a, ops, tw, q, n2)
+        # level 2: plain size-N2 transforms of the twisted rows
+        a = sixstep.fwd_sixstep(a, ops, w2, w2c, q, strict=strict,
+                                row_tabs=tabs2[0], col_tabs=tabs2[1])
+        return a  # (..., N1/D, N2) [k1-shard, k2] -- dist_fwd's layout
+
+    a_spec = P(batch_axis, None, axis)
+    out_spec = P(batch_axis, axis, None)
+    in_specs = tuple([a_spec] * nlimb + [P(None)] * (4 * nlimb)
+                     + [P(axis), P(None)])
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=tuple([out_spec] * nlimb), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_dist_rec_inv(q: int, n: int, l1_log: int, nlimb: int, ndev: int,
+                      axis: str, ninv1: tuple, ninv2: tuple, mesh: Mesh,
+                      batch_axis: str | None = None):
+    ops = U32Ops if nlimb == 1 else U64Ops
+    logn = n.bit_length() - 1
+    n1, n2 = 1 << l1_log, 1 << (logn - l1_log)
+    assert n1 % ndev == 0 and n2 % ndev == 0, (n1, n2, ndev)
+
+    def local_fn(*flat):
+        a = flat[:nlimb]  # local (..., N1/D, N2) [k1-shard, k2]
+        wi1 = flat[nlimb : 2 * nlimb]
+        wi1c = flat[2 * nlimb : 3 * nlimb]
+        wi2 = flat[3 * nlimb : 4 * nlimb]
+        wi2c = flat[4 * nlimb : 5 * nlimb]
+        twi = flat[5 * nlimb]
+        tabs1, tabs2 = flat[5 * nlimb + 1]
+        a = sixstep.inv_sixstep(a, ops, wi2, wi2c, *ninv2, q,
+                                row_tabs=tabs2[0], col_tabs=tabs2[1])
+        a = _twist_local(a, ops, twi, q, n2)  # un-twist, < 2q
+        a = tmap(
+            lambda l: lax.all_to_all(l, axis, split_axis=l.ndim - 1,
+                                     concat_axis=l.ndim - 2, tiled=True),
+            a,
+        )  # (..., N1, N2/D)
+        a = tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+        a = sixstep.inv_sixstep(a, ops, wi1, wi1c, *ninv1, q,
+                                row_tabs=tabs1[0], col_tabs=tabs1[1])
+        return tmap(lambda l: jnp.swapaxes(l, -1, -2), a)
+
+    a_spec = P(batch_axis, axis, None)
+    out_spec = P(batch_axis, None, axis)
+    in_specs = tuple([a_spec] * nlimb + [P(None)] * (4 * nlimb)
+                     + [P(axis), P(None)])
+    fn = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=tuple([out_spec] * nlimb), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def _rec_l1_for(plan: NttPlan, ndev: int) -> int:
+    """Outer split for the rec dist path: balanced, sharding-divisible."""
+    l1 = sixstep.rec_split(plan.params.m)
+    return max(l1, (ndev - 1).bit_length())
+
+
+def dist_rec_fwd_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
+                     l1_log: int | None = None, lazy: bool = False,
+                     axis: str = "x", batch_axis: str | None = None
+                     ) -> np.ndarray:
+    """Forward NTT sharded over `axis` with the RECURSIVE structure:
+    local level transforms + one all_to_all + row-sharded twist.  Output
+    bit-identical to dist_fwd_ntt / the golden radix-2 kernel."""
+    plan = _as_plan(plan)
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    ndev = mesh.shape[axis]
+    if l1_log is None:
+        l1_log = _rec_l1_for(plan, ndev)
+    n = plan.n
+    n1, n2 = 1 << l1_log, n >> l1_log
+    ops = U32Ops if plan.supports_u32_radix2 else U64Ops
+    w1, w1c, w2, w2c, tw, tabs, _ = _rec_dist_args(plan, l1_log, False, ops)
+    a = np.asarray(a, dtype=np.uint64)
+    a3 = a.reshape((-1, n1, n2))
+    rep = _global_rep(_host_limbs(a3, ops), mesh, P(batch_axis, None, axis))
+    fn = _jit_dist_rec_fwd(plan.q, n, l1_log, ops.nlimb, ndev, axis,
+                           not lazy, mesh, batch_axis)
+    out = fn(*rep, *w1, *w1c, *w2, *w2c, tw, tabs)
+    return _collect(out, ops).reshape(a.shape)
+
+
+def dist_rec_inv_ntt(a: np.ndarray, plan: NttPlan, mesh: Mesh | None = None,
+                     l1_log: int | None = None, axis: str = "x",
+                     batch_axis: str | None = None) -> np.ndarray:
+    """Inverse of dist_rec_fwd_ntt (strict output)."""
+    plan = _as_plan(plan)
+    if mesh is None:
+        mesh = default_mesh(axis=axis)
+    ndev = mesh.shape[axis]
+    if l1_log is None:
+        l1_log = _rec_l1_for(plan, ndev)
+    n = plan.n
+    n1, n2 = 1 << l1_log, n >> l1_log
+    ops = U32Ops if plan.supports_u32_radix2 else U64Ops
+    wi1, wi1c, wi2, wi2c, twi, tabs, ninv = _rec_dist_args(
+        plan, l1_log, True, ops)
+    a = np.asarray(a, dtype=np.uint64)
+    a3 = a.reshape((-1, n1, n2))
+    rep = _global_rep(_host_limbs(a3, ops), mesh, P(batch_axis, axis, None))
+    fn = _jit_dist_rec_inv(plan.q, n, l1_log, ops.nlimb, ndev, axis,
+                           ninv[0], ninv[1], mesh, batch_axis)
+    out = fn(*rep, *wi1, *wi1c, *wi2, *wi2c, twi, tabs)
+    return _collect(out, ops).reshape(a.shape)
+
+
 @functools.lru_cache(maxsize=None)
 def _jit_dist_polymul(q: int, n: int, n1_log: int, nlimb: int, ndev: int,
                       axis: str, n_inv_op: int, n_inv_con: int, f_tmp: int,

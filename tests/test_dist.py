@@ -204,6 +204,43 @@ def test_dist_large_n_2_22(rng):
     np.testing.assert_array_equal(f, want)
 
 
+@pytest.mark.parametrize("p", CASES, ids=fixture_id)
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_rec_fwd_bitexact(p, ndev, rng):
+    """Recursive-structured dist transform (r5): local level transforms +
+    one all_to_all + row-sharded twist == the golden radix-2 kernel."""
+    plan = get_plan(p)
+    mesh = dist.default_mesh(ndev)
+    a = make_input(rng, p.n, p.q, batch=2)
+    got = dist.dist_rec_fwd_ntt(a, plan, mesh=mesh)
+    want = api.fwd_ntt(a, p, variant="radix2")
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("p", CASES, ids=fixture_id)
+def test_dist_rec_roundtrip(p, rng):
+    plan = get_plan(p)
+    mesh = dist.default_mesh(8)
+    a = make_input(rng, p.n, p.q, batch=2)
+    f = dist.dist_rec_fwd_ntt(a, plan, mesh=mesh)
+    np.testing.assert_array_equal(dist.dist_rec_inv_ntt(f, plan, mesh=mesh), a)
+
+
+def test_dist_rec_lazy_and_2d(rng):
+    p = FIXTURES[13]
+    plan = get_plan(p)
+    a = make_input(rng, p.n, p.q, batch=4)
+    lz = dist.dist_rec_fwd_ntt(a, plan, mesh=dist.default_mesh(8), lazy=True)
+    np.testing.assert_array_equal(
+        lz % np.uint64(p.q), api.fwd_ntt(a, p, variant="radix2"))
+    assert lz.max() < 4 * p.q
+    mesh = dist.mesh_2d(2, 4)
+    got = dist.dist_rec_fwd_ntt(a, plan, mesh=mesh, batch_axis="dp")
+    np.testing.assert_array_equal(got, api.fwd_ntt(a, p, variant="radix2"))
+    np.testing.assert_array_equal(
+        dist.dist_rec_inv_ntt(got, plan, mesh=mesh, batch_axis="dp"), a)
+
+
 @pytest.mark.full
 def test_dist_large_n_2_24(rng):
     """N = 2^24 distributed, u32 path -- the literal end-point of

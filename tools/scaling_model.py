@@ -64,12 +64,23 @@ def predict(rows: dict, wl_gbs: float) -> list[dict]:
         d = int(d_str)
         if d == 1:
             continue
-        t_dev = ph["p1_us"] + ph["p2_us"] + t_a2a_us
+        flat_sum = ph["p1_us"] + ph["p2_us"]
+        rec_sum = (ph["p1_rec_us"] + ph["p2_rec_us"]
+                   if "p1_rec_us" in ph else None)
+        # per-device structure: the dist layer ships BOTH the flat-phase
+        # and the recursive-structured transform (dist_rec_*); the model
+        # charges whichever measured faster at this (m, D)
+        if rec_sum is not None and rec_sum < flat_sum:
+            structure, p1, p2 = "rec", ph["p1_rec_us"], ph["p2_rec_us"]
+        else:
+            structure, p1, p2 = "flat", ph["p1_us"], ph["p2_us"]
+        t_dev = p1 + p2 + t_a2a_us
         eff = t1 / (d * t_dev)
         out.append({
             "D": d,
-            "p1_us": ph["p1_us"],
-            "p2_us": ph["p2_us"],
+            "structure": structure,
+            "p1_us": p1,
+            "p2_us": p2,
             "a2a_us": round(t_a2a_us, 3),
             "t_dev_us": round(t_dev, 3),
             "speedup": round(t1 / t_dev, 2),
@@ -178,13 +189,51 @@ def measure(m: int, batch: int, devices: list[int],
 
         sec2 = _measure_loop(p2_body, a2, reps=5, k1=2, k2=10,
                              consts=(w, wc, rt_dev))
+
+        # recursive-structured per-device phases (dist_rec_*): level-1 on
+        # the lane shard; twist + level-2 on the row shard
+        from ntt_tpu.dist import sixstep as dsix
+        from ntt_tpu.kernels.elems import U64Ops as _U64
+
+        l1r = max(ss.rec_split(m), (d - 1).bit_length())
+        n1r, n2r = 1 << l1r, n >> l1r
+        w1, w1c, w2, w2c, twr, tabs, _ = dsix._rec_dist_args(
+            plan, l1r, False, _U64)
+        tw_loc = tuple(
+            tuple(l[: n1r // d] for l in rep) for rep in twr
+        )
+        a1r = U64Ops.from_host(rng.integers(
+            0, q, size=(batch, n1r, n2r // d), dtype=np.uint64))
+        a2r = U64Ops.from_host(rng.integers(
+            0, q, size=(batch, n1r // d, n2r), dtype=np.uint64))
+
+        def p1r_body(x, w1, w1c, t1):
+            x = tmap(lambda l: jnp.swapaxes(l, -1, -2), x)
+            x = ss.fwd_sixstep(x, _U64, w1, w1c, q, strict=False,
+                               row_tabs=t1[0], col_tabs=t1[1])
+            return tmap(lambda l: jnp.swapaxes(l, -1, -2), x)
+
+        def p2r_body(x, w2, w2c, twl, t2):
+            x = dsix._twist_local(x, _U64, twl, q, n2r)
+            return ss.fwd_sixstep(x, _U64, w2, w2c, q, strict=True,
+                                  row_tabs=t2[0], col_tabs=t2[1])
+
+        sec1r = _measure_loop(p1r_body, a1r, reps=5, k1=2, k2=10,
+                              consts=(w1, w1c, tabs[0]))
+        sec2r = _measure_loop(p2r_body, a2r, reps=5, k1=2, k2=10,
+                              consts=(w2, w2c, tw_loc, tabs[1]))
         rows["phases"][str(d)] = {
             "n1_log": n1_log,
+            "l1_rec": l1r,
             "p1_us": round(sec1 / batch * 1e6, 3),
             "p2_us": round(sec2 / batch * 1e6, 3),
+            "p1_rec_us": round(sec1r / batch * 1e6, 3),
+            "p2_rec_us": round(sec2r / batch * 1e6, 3),
         }
-        print(f"  m={m} D={d} (n1_log={n1_log}): p1 {rows['phases'][str(d)]['p1_us']} "
-              f"p2 {rows['phases'][str(d)]['p2_us']} us/t", flush=True)
+        r = rows["phases"][str(d)]
+        print(f"  m={m} D={d} (n1_log={n1_log}): p1 {r['p1_us']} "
+              f"p2 {r['p2_us']} | rec(l1={l1r}) p1 {r['p1_rec_us']} "
+              f"p2 {r['p2_rec_us']} us/t", flush=True)
     return rows
 
 
