@@ -1123,9 +1123,14 @@ register(
 # Serving-batch tiling policy (measured, artifacts/BATCH_LAB_r04.log +
 # docs/PERF.md batch study): the u64 path falls off a VMEM-residency cliff
 # above ~512 rows (b1024 direct 8.5-8.8 us/t vs 5.6-5.8 in 128-row
-# unrolled tiles); the u32 path is compute-bound and tiling LOSES 49%.
+# unrolled tiles).  Round 5 found the u32 path hits the same cliff one
+# octave later: the round-3 "tiling loses 49%" held at the b256 headline,
+# but at b1024 the 256-row tiled chain wins 1.5x on the forward (1.23-
+# 1.29 vs 1.85-2.03 us/row) and 1.9x on the chained ct-mul (8.37-8.42 vs
+# 16.0-16.2) -- artifacts/U32_SERVING_r05.json, interleaved, 2 rounds.
 # Per width: (batch threshold, tile) or None.
-_AUTO_BATCH_POLICY: dict[int, tuple | None] = {64: (512, 128), 32: None}
+_AUTO_BATCH_POLICY: dict[int, tuple | None] = {64: (512, 128),
+                                               32: (512, 256)}
 
 # statically unrolled tile chains beyond this many tiles fall back to
 # lax.map: the round-4 cliff sweep (AUTO_SWEEP_r04.json) has unroll ahead

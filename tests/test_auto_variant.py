@@ -134,6 +134,27 @@ def test_auto_batch_routing_bitexact():
     )
 
 
+def test_u32_serving_tile_policy():
+    """(r5) the u32 path tiles past the b512 cliff too: the round-3
+    'tiling loses 49%' held at b256, but at b1024 the 256-row chain wins
+    1.5-1.9x (artifacts/U32_SERVING_r05.json)."""
+    from ntt_tpu.params import NttParams
+
+    p = NttParams.generate(29, 10)
+    plan = get_plan(p)
+    assert plan.supports_u32_radix2
+    assert api._auto_batch_tile(plan, 256) is None   # headline stays direct
+    assert api._auto_batch_tile(plan, 512) is None
+    assert api._auto_batch_tile(plan, 1024) == 256
+    # bit-exactness of the tiled route through the public API
+    rng = np.random.default_rng(12)
+    a = rng.integers(0, p.q, size=(1024, p.n), dtype=np.uint64)
+    np.testing.assert_array_equal(
+        api.fwd_ntt(a, p, variant="auto"),
+        api.fwd_ntt(a, p, variant="sixstep"),
+    )
+
+
 def test_auto_routes_large_n_to_rec():
     """(r5) large N routes to the two-level recursive six-step -- the
     measured winner at every batch/width for m >= 18 (REC_LAB_*_r05
