@@ -1,0 +1,56 @@
+"""Merge the round-5 scaling-model runs into ONE artifact with
+predictions: m20 from SCALING_MODEL_A (flat+rec t1, flat phases),
+m21..24 from the REC runs (flat + rec-structured phases), predicted
+efficiency per (m, D) with the better-measured per-device structure.
+
+Usage: python tools/merge_scaling_r05.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scaling_model import predict  # noqa: E402
+
+ART = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "artifacts")
+
+
+def main():
+    measured = []
+    seen = set()
+    for fname in ("SCALING_MODEL_REC_A_r05.json", "SCALING_MODEL_REC_B_r05.json",
+                  "SCALING_MODEL_A_r05.json", "SCALING_MODEL_B_r05.json"):
+        path = os.path.join(ART, fname)
+        if not os.path.exists(path):
+            continue
+        for rows in json.load(open(path))["measured"]:
+            if rows["m"] not in seen:  # REC runs (listed first) win
+                seen.add(rows["m"])
+                rows["source"] = fname
+                measured.append(rows)
+    measured.sort(key=lambda r: r["m"])
+    wl = 90.0
+    out = {"ici_gbs_per_link_dir_assumed": wl, "measured": measured,
+           "predicted": {}}
+    for rows in measured:
+        table = predict(rows, wl)
+        out["predicted"][f"m{rows['m']}"] = table
+        print(f"N=2^{rows['m']} b{rows['batch']} (t1 {rows['t1_us']} us/t, "
+              f"src {rows['source']}):")
+        for r in table:
+            print(f"  D={r['D']:2d} [{r['structure']:4s}]: "
+                  f"p1 {r['p1_us']:8.2f} + p2 {r['p2_us']:8.2f} + a2a "
+                  f"{r['a2a_us']:7.2f} -> speedup {r['speedup']:5.2f}x, "
+                  f"eff {r['efficiency_pct']:5.1f}%")
+    dst = os.path.join(ART, "SCALING_MODEL_r05.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {dst}")
+
+
+if __name__ == "__main__":
+    main()
