@@ -489,6 +489,62 @@ def _suite_bodies(plan):
                                      plan.n_inv_con32, f_tmp32, f_con32, q,
                                      group=4)[0]
         ), "u32"
+
+    # two-level recursive six-step (round 5; the huge-N/batch-starved
+    # winner -- at the suite's serving config it documents the crossover)
+    from ntt_tpu import api as _api
+    from ntt_tpu.kernels.elems import tmap as _tmap
+
+    nlimb = 1 if plan.supports_u32_radix2 else 2
+    ops_r = U32Ops if nlimb == 1 else U64Ops
+    l1r = ss.rec_split(p.m)
+    pl1, pl2 = _api._rec_level_plans(plan, l1r)
+    u32r = nlimb == 1
+    rw1, rw1c = _api._rec_word_tabs(pl1, u32r, False)
+    rw2, rw2c = _api._rec_word_tabs(pl2, u32r, False)
+    rtw = _api._rec_twist_reps(plan, l1r, False, ops_r)
+    tag_r = "u32" if u32r else "u64"
+
+    def rec_body(x):
+        xr = (x,) if u32r else x
+        out = ss.fwd_rec(xr, ops_r, rw1, rw1c, rw2, rw2c, rtw, q, l1r,
+                         strict=True)
+        return out[0] if u32r else out
+
+    bodies[f"sixstep-rec-{tag_r}"] = rec_body, tag_r
+
+    # HE ciphertext-multiply chain (BASELINE configs[2] workload): the
+    # fused polymul structure -- 2 forwards (transposed-layout NTT
+    # domain) + pointwise + layout-consuming inverse.  The second
+    # operand is a batch-roll of the loop state so BOTH forwards stay
+    # loop-varying (CLAUDE.md LICM hazard)
+    f_tmpP, f_conP = radix2._final_mulop(
+        ninv, plan.n_inv_con32 if u32r else nc64, int(plan.w_inv[1]), q,
+        32 if u32r else 64)
+    if u32r:
+        _, _, hwi, hwic = plan.dev_r2_u32
+        hw_i, hw_ic = (hwi,), (hwic,)
+        hw, hwc = (plan.dev_r2_u32[0],), (plan.dev_r2_u32[1],)
+        ninv_conP = plan.n_inv_con32
+    else:
+        hw, hwc, hw_i, hw_ic = plan.dev_r2_u64
+        ninv_conP = nc64
+
+    def ctmul_body(x):
+        import jax.numpy as jnp
+
+        xr = (x,) if u32r else x
+        yr = _tmap(lambda l: jnp.roll(l, 1, axis=0), xr)
+        fa = ss.fwd_sixstep(xr, ops_r, hw, hwc, q, strict=True,
+                            keep_transposed=True)
+        fb = ss.fwd_sixstep(yr, ops_r, hw, hwc, q, strict=True,
+                            keep_transposed=True)
+        fc = ops_r.mul_mod(fa, fb, q)
+        out = ss.inv_sixstep(fc, ops_r, hw_i, hw_ic, ninv, ninv_conP,
+                             f_tmpP, f_conP, q, input_transposed=True)
+        return out[0] if u32r else out
+
+    bodies[f"he-ctmul-{tag_r}"] = ctmul_body, tag_r
     return bodies
 
 
