@@ -189,9 +189,11 @@ def test_device_ntt_tile_modes_bitexact(rng):
 
 
 def test_auto_batch_tile_policy():
-    """The measured serving policy (artifacts/BATCH_LAB_r04.log): u64
-    batches > 512 tile by 128; u32 never tiles; non-divisible batches
-    tile only with pad_to_tile."""
+    """The measured serving policy (artifacts/BATCH_LAB_r04.log + round-5
+    U32_SERVING_r05.json): u64 batches > 512 tile by 128; u32 batches >
+    512 tile by 256 (the r3 'tiling loses 49%' held only at b256 -- at
+    b1024 the 256-row chain wins 1.5-1.9x); non-divisible batches tile
+    only with pad_to_tile."""
     from ntt_tpu.plan import get_plan
 
     p64 = get_plan(NttParams.generate(50, 14))
@@ -201,4 +203,6 @@ def test_auto_batch_tile_policy():
     assert api._auto_batch_tile(p64, 2048) == 128
     assert api._auto_batch_tile(p64, 1000) is None     # non-divisible
     assert api._auto_batch_tile(p64, 1000, allow_pad=True) == 128
-    assert api._auto_batch_tile(p32, 4096) is None     # u32: tiling loses
+    assert api._auto_batch_tile(p32, 256) is None      # headline: direct
+    assert api._auto_batch_tile(p32, 512) is None
+    assert api._auto_batch_tile(p32, 4096) == 256
